@@ -1,0 +1,177 @@
+"""ReadStore — the PackedDB equivalent: a flat store of 2-bit-encodable reads.
+
+Replaces reference PackedDB (src/common/packed_db.{h,c}): sequences are stored as one
+concatenated uint8 code array (values 0..3) plus int64 offsets, instead of a bit-packed
+.pac blob + SequenceInfo records. Device kernels consume padded/bucketed batch views or
+the flat array directly; 2-bit packing (pack_2bit/unpack_2bit) is available for
+HBM-resident copies where footprint matters.
+
+Also covers the reference's volume bookkeeping (src/common/makedb_aux.c,
+src/makedb/main.c — oc2mkdb): `volumes()` splits the store into <= vol_size-base
+shards, the unit of the all-vs-all overlap tiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from necat_tpu.io import seqio
+
+
+@dataclasses.dataclass
+class ReadStore:
+    """Flat concatenated read set.
+
+    Attributes:
+      bases: uint8[total_bases], codes 0..3.
+      offsets: int64[n_reads + 1], read i occupies bases[offsets[i]:offsets[i+1]].
+      names: list of read names (may be empty strings for anonymous reads).
+    """
+
+    bases: np.ndarray
+    offsets: np.ndarray
+    names: List[str]
+
+    # ------------------------------------------------------------------ basics
+    @property
+    def n_reads(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.offsets[-1])
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets).astype(np.int64)
+
+    def __len__(self) -> int:
+        return self.n_reads
+
+    def get(self, i: int, rc: bool = False) -> np.ndarray:
+        s = self.bases[self.offsets[i]:self.offsets[i + 1]]
+        return seqio.revcomp(s) if rc else s
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(self.n_reads):
+            yield self.get(i)
+
+    # ------------------------------------------------------------ construction
+    @classmethod
+    def from_seqs(cls, seqs: Sequence[np.ndarray], names: Sequence[str] | None = None) -> "ReadStore":
+        lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        bases = np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs]) if seqs else np.zeros(0, np.uint8)
+        if names is None:
+            names = [str(i) for i in range(len(seqs))]
+        return cls(bases=bases, offsets=offsets, names=list(names))
+
+    @classmethod
+    def from_fasta(cls, path: str | os.PathLike, min_length: int = 0) -> "ReadStore":
+        names, seqs = seqio.read_fasta(path)
+        if min_length > 0:
+            keep = [(n, s) for n, s in zip(names, seqs) if len(s) >= min_length]
+            names = [n for n, _ in keep]
+            seqs = [s for _, s in keep]
+        return cls.from_seqs(seqs, names)
+
+    def to_fasta(self, path: str | os.PathLike) -> None:
+        seqio.write_fasta(path, self.names, list(self))
+
+    def subset(self, idx: np.ndarray) -> "ReadStore":
+        idx = np.asarray(idx)
+        seqs = [self.get(int(i)) for i in idx]
+        names = [self.names[int(i)] for i in idx]
+        return ReadStore.from_seqs(seqs, names)
+
+    # ------------------------------------------------------------------ tools
+    def n50(self) -> Tuple[int, int]:
+        """Return (N50 length, number of reads >= N50). fsa_rd_tools n50 equivalent
+        (reference: src/fsa/read_tools.cpp)."""
+        ls = np.sort(self.lengths)[::-1]
+        if len(ls) == 0:
+            return 0, 0
+        half = ls.sum() / 2
+        c = np.cumsum(ls)
+        i = int(np.searchsorted(c, half))
+        return int(ls[i]), i + 1
+
+    def longest_to_coverage(self, genome_size: int, coverage: float) -> np.ndarray:
+        """Indices of the longest reads whose total is ~genome_size*coverage bases.
+
+        fsa_rd_tools longest equivalent (reference: src/fsa/read_tools.cpp:33,
+        used at necat.pl:103-148 cns prepare and :397 cns extract).
+        """
+        target = int(genome_size * coverage)
+        order = np.argsort(self.lengths, kind="stable")[::-1]
+        csum = np.cumsum(self.lengths[order])
+        n_keep = int(np.searchsorted(csum, target)) + 1
+        n_keep = min(n_keep, self.n_reads)
+        return np.sort(order[:n_keep])
+
+    # --------------------------------------------------------------- sharding
+    def volumes(self, vol_size: int = 2_000_000_000) -> List[Tuple[int, int]]:
+        """Split into shards of <= vol_size bases: list of (read_start, read_end).
+
+        Mirrors oc2mkdb volume construction (reference: src/makedb/main.c:8-46,
+        kVolSize). Each volume is a tile of the all-vs-all overlap computation.
+        """
+        out: List[Tuple[int, int]] = []
+        start = 0
+        acc = 0
+        lens = self.lengths
+        for i in range(self.n_reads):
+            if acc + int(lens[i]) > vol_size and i > start:
+                out.append((start, i))
+                start = i
+                acc = 0
+            acc += int(lens[i])
+        if start < self.n_reads:
+            out.append((start, self.n_reads))
+        return out
+
+    # ------------------------------------------------------------- device prep
+    def padded_batch(
+        self,
+        idx: np.ndarray,
+        pad_to: int | None = None,
+        multiple: int = 128,
+        rc: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gather reads idx into a [B, L] uint8 array padded with 0, plus lengths.
+
+        Padding value 0 is safe: kernels mask with the returned lengths.
+        """
+        idx = np.asarray(idx)
+        lens = self.lengths[idx]
+        L = int(lens.max()) if pad_to is None else pad_to
+        L = -(-L // multiple) * multiple
+        out = np.zeros((len(idx), L), dtype=np.uint8)
+        for row, i in enumerate(idx):
+            s = self.get(int(i), rc=rc)
+            out[row, : len(s)] = s[:L]
+        return out, lens.astype(np.int32)
+
+
+def pack_2bit(bases: np.ndarray) -> np.ndarray:
+    """Pack uint8 codes 0..3 into uint32 words, 16 bases per word, base 0 in the
+    high bits (mirrors _set_pac bit layout, src/common/ontcns_aux.h:118)."""
+    n = len(bases)
+    n_pad = -(-n // 16) * 16
+    b = np.zeros(n_pad, dtype=np.uint32)
+    b[:n] = bases
+    b = b.reshape(-1, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    return (b << shifts).sum(axis=1, dtype=np.uint32)
+
+
+def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of pack_2bit."""
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    b = (words[:, None] >> shifts) & 3
+    return b.reshape(-1)[:n].astype(np.uint8)
