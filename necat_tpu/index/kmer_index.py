@@ -1,0 +1,153 @@
+"""k-mer lookup table over a subject read volume — CSR over sorted k-mer hashes.
+
+TPU-native replacement for the reference lookup table (src/lookup_table/
+lookup_table.c:14-190): instead of a 4^k-entry offset table (8 GB at k=15), we keep
+the (hash, position) pairs sorted by hash plus a small top-bits bucket directory, and
+resolve queries with a bucket-narrowed binary search on device. Every subject position
+is indexed (matching build_lookup_table); k-mers occurring more than `occ_cutoff`
+times are disabled at query time (reference removes them from the table,
+lookup_table.c:14-57 kmer_cnt_cutoff, default 500 = map_options.c:12-28).
+
+K-mers spanning a read boundary are excluded (an improvement over the reference,
+which indexes across PackedDB sequence boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def kmer_hashes_flat(bases: np.ndarray, k: int) -> np.ndarray:
+    """Hashes of all k-mers of a flat uint8 code array; length len(bases)-k+1.
+
+    hash = base-4 big-endian value of the k bases (word_finder.c:65-82 semantics).
+    NumPy host path (used at index build).
+    """
+    n = len(bases) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int32)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        h = (h << 2) | bases[j:j + n]
+    return h.astype(np.int32) if k <= 15 else h
+
+
+@dataclasses.dataclass
+class KmerIndex:
+    """Sorted k-mer position index of one subject volume (device-resident arrays)."""
+
+    k: int
+    occ_cutoff: int
+    n_bucket_bits: int
+    # sorted by (hash, position):
+    sorted_hashes: jax.Array  # int32[M]
+    sorted_positions: jax.Array  # int32[M], global offsets into the volume's flat bases
+    bucket_starts: jax.Array  # int32[2^B + 1] — directory over hash top bits
+
+    @property
+    def n_kmers(self) -> int:
+        return int(self.sorted_hashes.shape[0])
+
+    @classmethod
+    def build(
+        cls,
+        bases: np.ndarray,
+        offsets: np.ndarray,
+        k: int = 15,
+        occ_cutoff: int = 500,
+        n_bucket_bits: int = 16,
+    ) -> "KmerIndex":
+        """Build from the volume's flat bases + read offsets (host sort, device arrays).
+
+        The multi-threaded radix sort of the reference (hash_list_bucket_sort.c) is
+        replaced by a NumPy sort here; device-side radix sort is a later optimization.
+        """
+        assert k <= 15, "k must fit 30 bits (int32 device arrays)"
+        hashes = kmer_hashes_flat(bases, k)
+        n = len(hashes)
+        # valid: k-mer must not span a read boundary.
+        pos = np.arange(n, dtype=np.int64)
+        read_end = offsets[np.searchsorted(offsets, pos, side="right")]
+        valid = pos + k <= read_end
+        hashes = hashes[valid]
+        positions = pos[valid].astype(np.int32)
+        order = np.argsort(hashes, kind="stable")  # stable => positions ascending per hash
+        sh = hashes[order]
+        sp = positions[order]
+        # bucket directory over top bits
+        nb = 1 << n_bucket_bits
+        shift = 2 * k - n_bucket_bits
+        assert shift >= 0
+        bucket = (sh >> shift).astype(np.int64)
+        bucket_starts = np.zeros(nb + 1, dtype=np.int64)
+        np.add.at(bucket_starts, bucket + 1, 1)
+        np.cumsum(bucket_starts, out=bucket_starts)
+        return cls(
+            k=k,
+            occ_cutoff=occ_cutoff,
+            n_bucket_bits=n_bucket_bits,
+            sorted_hashes=jnp.asarray(sh, dtype=jnp.int32),
+            sorted_positions=jnp.asarray(sp, dtype=jnp.int32),
+            bucket_starts=jnp.asarray(bucket_starts, dtype=jnp.int32),
+        )
+
+    def lookup_ranges(self, query_hashes: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """For each query hash: (start, count) in the sorted position list.
+
+        Counts above occ_cutoff are zeroed (repeat suppression). Fully on device;
+        replaces extract_kmer_list (lookup_table.c:175-190).
+        """
+        return _lookup_ranges(
+            self.sorted_hashes, self.bucket_starts, query_hashes,
+            2 * self.k - self.n_bucket_bits, self.occ_cutoff)
+
+
+@jax.jit
+def _lookup_ranges(sorted_hashes, bucket_starts, qh, shift, occ_cutoff):
+    bucket = (qh >> shift).astype(jnp.int32)
+    lo = bucket_starts[bucket]
+    hi = bucket_starts[bucket + 1]
+    # binary search for [first >= qh, first > qh) within [lo, hi)
+    n_steps = int(np.ceil(np.log2(max(2, sorted_hashes.shape[0])))) + 1
+
+    def body(_, state):
+        lo_l, hi_l, lo_r, hi_r = state
+        # left bound: first index with sorted_hashes[idx] >= qh
+        mid_l = (lo_l + hi_l) // 2
+        go_right_l = sorted_hashes[mid_l] < qh
+        lo_l = jnp.where(go_right_l, mid_l + 1, lo_l)
+        hi_l = jnp.where(go_right_l, hi_l, mid_l)
+        # right bound: first index with sorted_hashes[idx] > qh
+        mid_r = (lo_r + hi_r) // 2
+        go_right_r = sorted_hashes[mid_r] <= qh
+        lo_r = jnp.where(go_right_r, mid_r + 1, lo_r)
+        hi_r = jnp.where(go_right_r, hi_r, mid_r)
+        return lo_l, hi_l, lo_r, hi_r
+
+    lo_l, _, lo_r, _ = jax.lax.fori_loop(0, n_steps, body, (lo, hi, lo, hi))
+    start = lo_l
+    count = lo_r - lo_l
+    count = jnp.where(count > occ_cutoff, 0, count)
+    return start, count
+
+
+def query_kmer_hashes(batch: jax.Array, lens: jax.Array, k: int, scan_window: int):
+    """Sampled k-mer hashes for a padded query batch [B, L].
+
+    Returns (hashes int32[B, S], qoffs int32[S], valid bool[B, S]) where S is the
+    static number of sample positions (L - k) // scan_window + 1.
+    Mirrors extract_hash_values (word_finder.c:65-82): positions 0, w, 2w, ...
+    """
+    B, L = batch.shape
+    S = max(1, (L - k) // scan_window + 1)
+    qoffs = (jnp.arange(S, dtype=jnp.int32) * scan_window)
+    cols = jnp.minimum(qoffs[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :], L - 1)  # [S, k]
+    sub = batch[:, cols].astype(jnp.int32)  # [B, S, k]
+    weights = (1 << (2 * jnp.arange(k - 1, -1, -1, dtype=jnp.int32)))
+    h = (sub * weights[None, None, :]).sum(-1)
+    valid = (qoffs[None, :] + k) <= lens[:, None]
+    return h, qoffs, valid

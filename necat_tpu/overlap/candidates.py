@@ -1,0 +1,229 @@
+"""Candidate detection: query k-mer sampling -> index hits -> (query, subject) pair
+grouping -> batched chain DP -> gapped candidates.
+
+TPU-native replacement for the reference candidate path (src/word_finder/
+word_finder.c:363-412 find_candidates + src/pm_one_volume/pm_worker.c:84-198): the
+ragged per-read seed lists become one flat hit tensor per batch, grouped by sorting
+on (query, subject-position) and segmented with static caps. Self/duplicate
+suppression keeps only subjects positioned before the query read in the volume
+(word_finder.c:121-127 soff_max), so each overlap is found once and later duplicated
+with roles swapped (the oc2pcan shuffle, src/partition_candidates/pcan.c:57-71).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from necat_tpu.index.kmer_index import KmerIndex, query_kmer_hashes
+from necat_tpu.overlap.chain import chain_pairs
+from necat_tpu.overlap.options import MapOptions
+
+
+@dataclasses.dataclass
+class Candidates:
+    """SoA of gapped candidates (host). Mirrors GappedCandidate
+    (src/common/gapped_candidate.h:9-19): subject dir is always FWD."""
+
+    qid: np.ndarray      # int32 global query read id
+    sid: np.ndarray      # int32 global subject read id
+    qdir: np.ndarray     # int8, 0=FWD 1=REV (query strand)
+    score: np.ndarray    # int32 chain score
+    qbeg: np.ndarray     # int32 (coords on the qdir strand of the query)
+    qend: np.ndarray
+    sbeg: np.ndarray     # int32 (forward subject coords)
+    send: np.ndarray
+    qsize: np.ndarray    # int32
+    ssize: np.ndarray    # int32
+
+    def __len__(self) -> int:
+        return len(self.qid)
+
+    @staticmethod
+    def concat(parts: list["Candidates"]) -> "Candidates":
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            z = np.zeros(0, np.int32)
+            return Candidates(z, z, z.astype(np.int8), z, z, z, z, z, z, z)
+        return Candidates(*[
+            np.concatenate([getattr(p, f.name) for p in parts])
+            for f in dataclasses.fields(Candidates)
+        ])
+
+    def take(self, idx: np.ndarray) -> "Candidates":
+        return Candidates(*[getattr(self, f.name)[idx] for f in dataclasses.fields(Candidates)])
+
+    def swap_roles(self) -> "Candidates":
+        """Swap query/subject roles, normalizing subject dir to FWD.
+
+        Mirrors change_pcan_roles + normalise_pcan_sdir
+        (src/common/gapped_candidate.h:102-105): when the original qdir is REV, the
+        swapped record flips both sequences' strands, so coordinates mirror.
+        """
+        rev = self.qdir == 1
+        new_qbeg = np.where(rev, self.ssize - self.send, self.sbeg)
+        new_qend = np.where(rev, self.ssize - self.sbeg, self.send)
+        new_sbeg = np.where(rev, self.qsize - self.qend, self.qbeg)
+        new_send = np.where(rev, self.qsize - self.qbeg, self.qend)
+        return Candidates(
+            qid=self.sid.copy(), sid=self.qid.copy(), qdir=self.qdir.copy(),
+            score=self.score.copy(),
+            qbeg=new_qbeg.astype(np.int32), qend=new_qend.astype(np.int32),
+            sbeg=new_sbeg.astype(np.int32), send=new_send.astype(np.int32),
+            qsize=self.ssize.copy(), ssize=self.qsize.copy(),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("max_hits",))
+def _expand_hits(start, count, positions, soff_limit, max_hits: int):
+    """Expand CSR (start, count) ranges into a flat hit list of static size.
+
+    start/count: int32[B, S] per sampled query k-mer. soff_limit: int32[B]
+    (hits at subject positions >= limit are dropped; pass INT32_MAX to disable).
+    Returns (qrow, kmer_col, pos, valid, total_hits).
+    """
+    B, S = start.shape
+    flat_count = count.reshape(-1)
+    cum = jnp.cumsum(flat_count)
+    total = cum[-1]
+    slots = jnp.arange(max_hits, dtype=jnp.int32)
+    kmer_idx = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    kmer_idx = jnp.minimum(kmer_idx, B * S - 1)
+    base = cum[kmer_idx] - flat_count[kmer_idx]
+    within = slots - base
+    pos = positions[start.reshape(-1)[kmer_idx] + within]
+    valid = slots < total
+    qrow = kmer_idx // S
+    kcol = kmer_idx % S
+    valid &= pos < soff_limit[qrow]
+    return qrow, kcol, pos, valid, total
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs", "max_seeds"))
+def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int, max_seeds: int):
+    """Sort hits by (qrow, pos); segment into (query, subject) pairs; gather up to
+    max_seeds seeds per pair (even subsampling beyond, preserving order)."""
+    H = qrow.shape[0]
+    i32 = jnp.int32
+    B_sentinel = jnp.int32(1 << 29)
+    key1 = jnp.where(valid, qrow, B_sentinel)
+    key2 = jnp.where(valid, pos, B_sentinel)
+    key3 = jnp.where(valid, qoff, B_sentinel)
+    k1, k2, k3 = jax.lax.sort((key1, key2, key3), num_keys=3)
+    sid = jnp.searchsorted(sub_offsets, k2, side="right").astype(i32) - 1
+    svalid = k1 < B_sentinel
+    prev_q = jnp.concatenate([jnp.full((1,), -1, i32), k1[:-1]])
+    prev_sid = jnp.concatenate([jnp.full((1,), -1, i32), sid[:-1]])
+    new_pair = svalid & ((k1 != prev_q) | (sid != prev_sid))
+    pair_start = jnp.nonzero(new_pair, size=max_pairs, fill_value=H)[0].astype(i32)
+    # count hits per pair
+    n_pairs = new_pair.sum()
+    pair_end = jnp.concatenate([pair_start[1:], jnp.full((1,), H, i32)])
+    # last real pair's end = number of valid hits
+    n_valid = svalid.sum().astype(i32)
+    pair_end = jnp.minimum(pair_end, n_valid)
+    pair_cnt = jnp.maximum(pair_end - pair_start, 0)
+
+    safe_start = jnp.minimum(pair_start, H - 1)
+    pair_qrow = k1[safe_start]
+    pair_sid = sid[safe_start]
+    pair_valid = pair_start < H
+
+    # seed gather
+    ar = jnp.arange(max_seeds, dtype=i32)
+    idx_in = jnp.where(pair_cnt[:, None] > max_seeds,
+                       (ar[None, :] * pair_cnt[:, None]) // max_seeds,
+                       ar[None, :])
+    gidx = jnp.minimum(safe_start[:, None] + idx_in, H - 1)
+    seed_mask = (ar[None, :] < jnp.minimum(pair_cnt, max_seeds)[:, None]) & pair_valid[:, None]
+    seed_q = k3[gidx]
+    seed_s = k2[gidx] - sub_offsets[jnp.maximum(pair_sid, 0)][:, None]
+    return dict(pair_qrow=pair_qrow, pair_sid=pair_sid, pair_cnt=pair_cnt,
+                pair_valid=pair_valid, seed_q=seed_q, seed_s=seed_s,
+                seed_mask=seed_mask, n_pairs=n_pairs)
+
+
+def find_candidates_batch(
+    index: KmerIndex,
+    sub_offsets: jax.Array,          # int32[NS+1] subject read offsets in the volume
+    sub_vol_read_start: int,          # global read id of subject volume's first read
+    batch: np.ndarray,                # uint8[B, L] padded queries (on qdir strand)
+    lens: np.ndarray,                 # int32[B]
+    qids: np.ndarray,                 # int32[B] global query read ids
+    qdir: int,
+    sub_sizes: np.ndarray,            # int32[NS] subject lengths (host)
+    opts: MapOptions,
+    pairwise: bool,
+) -> Candidates:
+    """Run the full candidate pipeline for one padded query batch on one strand."""
+    B, L = batch.shape
+    batch_d = jnp.asarray(batch)
+    lens_d = jnp.asarray(lens)
+    qh, qoffs, kvalid = query_kmer_hashes(batch_d, lens_d, index.k, opts.scan_window)
+    start, count = index.lookup_ranges(qh)
+    count = jnp.where(kvalid, count, 0)
+
+    if pairwise:
+        # suppress hits at subject positions >= start of the query read itself
+        local = qids - sub_vol_read_start
+        ns = int(sub_offsets.shape[0]) - 1
+        in_vol = (local >= 0) & (local < ns)
+        limit_np = np.where(in_vol, np.asarray(sub_offsets)[np.clip(local, 0, ns - 1)],
+                            np.int32(np.iinfo(np.int32).max))
+        soff_limit = jnp.asarray(limit_np.astype(np.int32))
+    else:
+        soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
+
+    qrow, kcol, pos, valid, total = _expand_hits(start, count, index.sorted_positions,
+                                                 soff_limit, opts.max_hits)
+    qoff_h = qoffs[kcol]
+    g = _group_pairs(qrow, qoff_h, pos, valid, sub_offsets,
+                     opts.max_pairs, opts.max_seeds_per_pair)
+    ch = chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"], opts.kmer_size,
+                     opts.chain_max_dist, opts.chain_bw)
+
+    # host-side filtering & packing
+    pv = np.asarray(g["pair_valid"])
+    cnt = np.asarray(g["pair_cnt"])
+    score = np.asarray(ch["score"])
+    n_seeds = np.asarray(ch["n_seeds"])
+    qbeg = np.asarray(ch["qbeg"]); qend = np.asarray(ch["qend"])
+    sbeg = np.asarray(ch["sbeg"]); send = np.asarray(ch["send"])
+    keep = (pv & (n_seeds >= opts.block_score_cutoff)
+            & (score >= opts.chain_min_score)
+            & (((qend - qbeg) >= opts.align_size_cutoff)
+               | ((send - sbeg) >= opts.align_size_cutoff)))
+    idx = np.flatnonzero(keep)
+    pq = np.asarray(g["pair_qrow"])[idx]
+    psid = np.asarray(g["pair_sid"])[idx]
+    out = Candidates(
+        qid=qids[pq].astype(np.int32),
+        sid=(psid + sub_vol_read_start).astype(np.int32),
+        qdir=np.full(len(idx), qdir, dtype=np.int8),
+        score=score[idx].astype(np.int32),
+        qbeg=qbeg[idx].astype(np.int32), qend=qend[idx].astype(np.int32),
+        sbeg=sbeg[idx].astype(np.int32), send=send[idx].astype(np.int32),
+        qsize=lens[pq].astype(np.int32),
+        ssize=sub_sizes[psid].astype(np.int32),
+    )
+    return out
+
+
+def top_n_per_query(cands: Candidates, n: int) -> Candidates:
+    """Keep the n best-scoring candidates per (qid) — pm_worker.c:163-186 ncan cap."""
+    if len(cands) == 0:
+        return cands
+    order = np.lexsort((-cands.score, cands.qid))
+    qid_sorted = cands.qid[order]
+    # rank within query group
+    new_grp = np.r_[True, qid_sorted[1:] != qid_sorted[:-1]]
+    grp_id = np.cumsum(new_grp) - 1
+    grp_first = np.flatnonzero(new_grp)
+    rank = np.arange(len(order)) - grp_first[grp_id]
+    keep = order[rank < n]
+    return cands.take(np.sort(keep))

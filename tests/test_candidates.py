@@ -1,0 +1,151 @@
+import numpy as np
+import jax.numpy as jnp
+
+from necat_tpu.index.kmer_index import KmerIndex
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.io import simulate, seqio
+from necat_tpu.overlap.chain import chain_pairs
+from necat_tpu.overlap.candidates import Candidates, find_candidates_batch, top_n_per_query
+from necat_tpu.overlap.options import MapOptions
+
+
+def chain_oracle(qoff, soff, k, max_dist=5000, bw=500):
+    """Brute-force chain DP matching chain_pairs scoring; returns (score, beg, end)."""
+    import math
+    n = len(qoff)
+    f = [k] * n
+    p = [-1] * n
+    for i in range(n):
+        for j in range(i):
+            dq = qoff[i] - qoff[j]
+            dr = soff[i] - soff[j]
+            if dq <= 0 or dr <= 0 or dq > max_dist or dr > max_dist:
+                continue
+            dd = abs(dq - dr)
+            if dd > bw:
+                continue
+            sc = min(min(dq, dr), k) - int(dd * 0.01 * k) - (int(math.log2(dd)) // 2 if dd else 0)
+            if f[j] + sc > f[i]:
+                f[i] = f[j] + sc
+                p[i] = j
+    e = int(np.argmax(f))
+    b = e
+    while p[b] >= 0:
+        b = p[b]
+    return f[e], b, e
+
+
+def test_chain_matches_oracle():
+    rng = np.random.default_rng(0)
+    P, S, k = 8, 32, 15
+    qo = np.zeros((P, S), np.int32)
+    so = np.zeros((P, S), np.int32)
+    mask = np.zeros((P, S), bool)
+    for p in range(P):
+        n = int(rng.integers(5, S + 1))
+        # colinear-ish seeds with noise and some outliers
+        base_q = np.sort(rng.integers(0, 8000, n))
+        noise = rng.integers(-60, 60, n)
+        base_s = base_q + 3000 + noise
+        out = rng.random(n) < 0.2
+        base_s = np.where(out, rng.integers(0, 20000, n), base_s)
+        order = np.lexsort((base_q, base_s))
+        qo[p, :n] = base_q[order]
+        so[p, :n] = base_s[order]
+        mask[p, :n] = True
+    res = chain_pairs(jnp.asarray(qo), jnp.asarray(so), jnp.asarray(mask), k)
+    for p in range(P):
+        n = int(mask[p].sum())
+        sc, b, e = chain_oracle(qo[p, :n].tolist(), so[p, :n].tolist(), k)
+        assert int(res["score"][p]) == sc, f"pair {p}"
+        assert int(res["qbeg"][p]) == qo[p, b]
+        assert int(res["qend"][p]) == qo[p, e] + k
+        assert int(res["sbeg"][p]) == so[p, b]
+        assert int(res["send"][p]) == so[p, e] + k
+
+
+def _true_overlap(st, ln, i, j, G):
+    """Ground-truth overlap length of two reads on a circular genome."""
+    a0, a1 = st[i], st[i] + ln[i]
+    b0, b1 = st[j], st[j] + ln[j]
+    best = 0
+    for shift in (-G, 0, G):
+        lo = max(a0, b0 + shift)
+        hi = min(a1, b1 + shift)
+        best = max(best, hi - lo)
+    return best
+
+
+def test_find_candidates_on_simulated_reads():
+    G = 60000
+    genome = simulate.random_genome(G, seed=11)
+    reads, st, sd, ln = simulate.simulate_reads(
+        genome, coverage=6, mean_len=7000, min_len=4000, max_len=12000, seed=5)
+    rs = ReadStore.from_seqs(reads)
+    idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
+    sub_off = jnp.asarray(rs.offsets.astype(np.int32))
+    sub_sizes = rs.lengths.astype(np.int32)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=2048, max_seeds_per_pair=64)
+
+    B = rs.n_reads
+    parts = []
+    for qdir in (0, 1):
+        batch, lens = rs.padded_batch(np.arange(B), rc=bool(qdir))
+        if qdir == 1:
+            # padded_batch rc reverses each read individually
+            pass
+        cands = find_candidates_batch(idx, sub_off, 0, batch, lens,
+                                      np.arange(B, dtype=np.int32), qdir,
+                                      sub_sizes, opts, pairwise=True)
+        parts.append(cands)
+    cands = Candidates.concat(parts)
+    assert len(cands) > 0
+    # no self candidates; subject always earlier read
+    assert np.all(cands.sid < cands.qid)
+
+    # sensitivity: true overlapping pairs >= 3kb should mostly be found
+    found = set(zip(cands.qid.tolist(), cands.sid.tolist()))
+    n_true = 0
+    n_hit = 0
+    for i in range(B):
+        for j in range(i):
+            if _true_overlap(st, ln, i, j, G) >= 3000:
+                n_true += 1
+                if (i, j) in found:
+                    n_hit += 1
+    assert n_true > 10
+    sens = n_hit / n_true
+    assert sens >= 0.9, f"sensitivity {sens:.2f} ({n_hit}/{n_true})"
+
+    # strand correctness: for found pairs, qdir should match strand xor
+    qd = {}
+    for t in range(len(cands)):
+        qd.setdefault((int(cands.qid[t]), int(cands.sid[t])), int(cands.qdir[t]))
+    n_strand_ok = 0
+    n_checked = 0
+    for (i, j), d in qd.items():
+        if _true_overlap(st, ln, i, j, G) >= 3000:
+            n_checked += 1
+            if d == int(sd[i] ^ sd[j]):
+                n_strand_ok += 1
+    assert n_checked > 0
+    assert n_strand_ok / n_checked >= 0.95
+
+    # coordinate sanity on one strong forward candidate
+    m = (cands.qdir == 0) & (cands.score > 100)
+    if m.any():
+        t = int(np.argmax(cands.score * m))
+        assert 0 <= cands.qbeg[t] < cands.qend[t] <= cands.qsize[t]
+        assert 0 <= cands.sbeg[t] < cands.send[t] <= cands.ssize[t]
+
+
+def test_top_n_per_query():
+    c = Candidates(
+        qid=np.array([1, 1, 1, 2], np.int32), sid=np.array([10, 11, 12, 13], np.int32),
+        qdir=np.zeros(4, np.int8), score=np.array([5, 9, 7, 3], np.int32),
+        qbeg=np.zeros(4, np.int32), qend=np.zeros(4, np.int32),
+        sbeg=np.zeros(4, np.int32), send=np.zeros(4, np.int32),
+        qsize=np.zeros(4, np.int32), ssize=np.zeros(4, np.int32))
+    out = top_n_per_query(c, 2)
+    assert len(out) == 3
+    assert set(out.sid[out.qid == 1].tolist()) == {11, 12}
