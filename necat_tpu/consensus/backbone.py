@@ -1,0 +1,90 @@
+"""Consensus calling from the dense tag tensor.
+
+Replaces the backbone link-DP of the reference (src/tasc/cns_aux.c
+consensus_backbone_segment): the reference walks a DAG of (t_pos, delta, base) nodes
+scoring w_link - 0.2*coverage per node; because tags always link adjacent columns,
+a thresholded weighted-majority per column is the order-preserving equivalent and is
+fully parallel on device:
+
+  - delta 0: emit argmax_base weights[t,0,:] (gap wins => deletion), iff cov >= min_cov
+  - delta k>=1: emit argmax over ACGT iff its weight >= ins_frac * coverage[t]
+    (an insert node on the best path must outweigh the -0.2*cov node penalty)
+
+Interval logic (consensus_broken, src/tasc/cbcns.c:108-170): maximal runs with
+coverage >= min_cov become corrected pieces (>= min_size); gaps >= raw_min_gap are
+passed through uncorrected (get_raw_intvs, consensus_one_read.c:19-65).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=())
+def call_consensus(weights, coverage, min_cov, ins_frac):
+    """weights f32[TB, L, D, 5], coverage i32[TB, L] ->
+    (emit bool[TB, L, D], base uint8[TB, L, D])."""
+    w0 = weights[:, :, 0, :]                       # [TB, L, 5]
+    b0 = jnp.argmax(w0, axis=-1)
+    covered = coverage >= min_cov
+    emit0 = covered & (b0 < 4) & (jnp.max(w0, axis=-1) > 0)
+
+    wk = weights[:, :, 1:, :4]                     # [TB, L, D-1, 4]
+    bk = jnp.argmax(wk, axis=-1)
+    wkmax = jnp.max(wk, axis=-1)
+    emitk = covered[:, :, None] & (wkmax >= ins_frac * jnp.maximum(coverage, 1)[:, :, None])
+
+    emit = jnp.concatenate([emit0[:, :, None], emitk], axis=2)
+    base = jnp.concatenate([b0[:, :, None], bk], axis=2).astype(jnp.uint8)
+    return emit, base
+
+
+def compact_consensus(
+    emit: np.ndarray,      # bool[TB, L, D]
+    base: np.ndarray,      # uint8[TB, L, D]
+    coverage: np.ndarray,  # int32[TB, L]
+    tlens: np.ndarray,     # int32[TB]
+    templates: np.ndarray, # uint8[TB, L] original template codes
+    min_cov: int,
+    min_size: int,
+    raw_min_gap: int,
+) -> List[Tuple[List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]]]:
+    """Host compaction: per template, (cns_pieces, raw_pieces); each piece is
+    (from, to, seq codes). cns pieces are corrected; raw pieces are uncorrected
+    passthrough of >= raw_min_gap uncovered stretches."""
+    TB, L, D = emit.shape
+    out = []
+    for b in range(TB):
+        n = int(tlens[b])
+        cov = coverage[b, :n] >= min_cov
+        cns_pieces: List[Tuple[int, int, np.ndarray]] = []
+        raw_pieces: List[Tuple[int, int, np.ndarray]] = []
+        if n == 0:
+            out.append((cns_pieces, raw_pieces))
+            continue
+        # maximal covered runs
+        dif = np.diff(np.r_[0, cov.astype(np.int8), 0])
+        starts = np.flatnonzero(dif == 1)
+        ends = np.flatnonzero(dif == -1)
+        for s, e in zip(starts, ends):
+            if e - s < min_size:
+                continue
+            em = emit[b, s:e, :]
+            ba = base[b, s:e, :]
+            seq = ba[em]  # row-major: t asc, delta asc — template order
+            if len(seq) >= min_size:
+                cns_pieces.append((int(s), int(e), seq.astype(np.uint8)))
+        # raw passthrough of gaps between cns intervals (consensus_one_read.c:19-65)
+        kept = [(s, e) for (s, e, _) in cns_pieces]
+        prev = 0
+        for s, e in kept + [(n, n)]:
+            if s - prev >= raw_min_gap:
+                raw_pieces.append((prev, s, templates[b, prev:s].astype(np.uint8)))
+            prev = max(prev, e)
+        out.append((cns_pieces, raw_pieces))
+    return out

@@ -1,0 +1,298 @@
+"""Read correction driver: candidates -> wave-based extension -> tag consensus.
+
+Batched re-design of consensus_one_read (src/consensus/consensus_one_read.c:215-392):
+templates are processed in length-bucketed batches; each wave extends up to
+`wave_size` fresh candidates per template (the reference's waves of 50,
+:317-372), skipping already-extended query reads and regions at max_cov. The
+adaptive identity cutoff comes from the first good overlaps
+(error_estimate.c:32-184). Accepted alignments scatter tags into the dense
+consensus tensor; uncovered gaps >= raw_min_gap pass through uncorrected.
+
+The oc2pcan shuffle (partition_candidates/pcan.c) is replaced by an in-memory
+role-expansion + lexsort grouping of candidates by template id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from necat_tpu.align.banded import extend_batch
+from necat_tpu.consensus import tags as tags_mod
+from necat_tpu.consensus.backbone import call_consensus, compact_consensus
+from necat_tpu.consensus.options import CnsOptions
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.overlap.candidates import Candidates
+
+
+@dataclasses.dataclass
+class CnsRecord:
+    tid: int
+    left: int
+    right: int
+    org_size: int
+    seq: np.ndarray
+    corrected: bool
+
+
+# ----------------------------------------------------------------- host helpers
+
+def is_good_overlap(ql, qr, qs, tl, tr, ts, margin=200):
+    """error_estimate.c:7-30 — overlap ends near sequence ends on paired sides."""
+    qlh, qrh, tlh, trh = ql, qs - qr, tl, ts - tr
+    m = margin
+    return ((qlh <= m) & (qrh <= m)) | ((tlh <= m) & (trh <= m)) | \
+           ((qrh <= m) & (tlh <= m)) | ((trh <= m) & (qlh <= m))
+
+
+def check_mapping_range(ql, qr, qs, tl, tr, ts, min_size, ratio):
+    """consensus_aux.c:115-122."""
+    return ((qr - ql) >= min_size) | ((tr - tl) >= min_size) | \
+           ((qr - ql) >= qs * ratio) | ((tr - tl) >= ts * ratio)
+
+
+def is_full_cov_ovlp(ql, qr, qs, tl, tr, ts, ovlp_size, tail):
+    """consensus_aux.c:93-112 — query or template nearly fully covered."""
+    r = ((ql <= tail) & (qs - qr <= tail)) | ((tl <= tail) & (ts - tr <= tail))
+    r |= (qs - qr <= tail) & (tl <= tail) & ((qr - ql) >= ovlp_size)
+    r |= (ts - tr <= tail) & (ql <= tail) & ((qr - ql) >= ovlp_size)
+    return r
+
+
+def estimate_ident_cutoff(idents: np.ndarray) -> float:
+    """error_estimate.c:32-64: mean - 5*stddev over the top 70% (when n >= 8)."""
+    n = len(idents)
+    if n < 5:
+        return 0.0
+    idents = np.sort(idents)[::-1]
+    if n >= 8:
+        n = int(n * 0.7)
+    sel = idents[:n]
+    return float(sel.mean() - 5.0 * sel.std())
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bucket_len(x: int) -> int:
+    """Pad lengths to a small set of power-of-two buckets to bound recompiles."""
+    L = 2048
+    while L < x:
+        L *= 2
+    return L
+
+
+def group_by_template(cands: Candidates, max_examined: int):
+    """Sort candidates by (sid, score desc); return dict sid -> index array."""
+    order = np.lexsort((-cands.score, cands.sid))
+    sid_sorted = cands.sid[order]
+    groups: Dict[int, np.ndarray] = {}
+    if len(order) == 0:
+        return groups
+    bounds = np.flatnonzero(np.r_[True, sid_sorted[1:] != sid_sorted[:-1]])
+    bounds = np.r_[bounds, len(order)]
+    for i in range(len(bounds) - 1):
+        s, e = bounds[i], bounds[i + 1]
+        tid = int(sid_sorted[s])
+        groups[tid] = order[s:min(e, s + max_examined)]
+    return groups
+
+
+# --------------------------------------------------------------------- driver
+
+def correct_reads(
+    store: ReadStore,
+    cands: Candidates,
+    opts: CnsOptions = CnsOptions(),
+    min_cov_for_template: int | None = None,
+    emit_uncorrected: bool = True,
+    verbose: bool = False,
+) -> List[CnsRecord]:
+    """Correct all templates that have candidates. `cands` must already be
+    role-expanded (each overlap present for both reads as templates)."""
+    groups = group_by_template(cands, opts.max_examined)
+    min_need = opts.min_cov if min_cov_for_template is None else min_cov_for_template
+
+    tids_all = np.array(sorted(groups.keys()), dtype=np.int64)
+    # drop templates with fewer candidates than min coverage (consensus_one_read.c:218)
+    tids_all = np.array([t for t in tids_all if len(groups[t]) >= min_need], dtype=np.int64)
+    records: List[CnsRecord] = []
+
+    # uncorrected passthrough for reads with no/insufficient candidates
+    if emit_uncorrected:
+        have = set(tids_all.tolist())
+        for r in range(store.n_reads):
+            if r not in have:
+                records.append(CnsRecord(tid=r, left=0, right=int(store.lengths[r]),
+                                         org_size=int(store.lengths[r]),
+                                         seq=store.get(r), corrected=False))
+
+    # process templates in descending length order, bucketed
+    lens = store.lengths
+    order = np.argsort(-lens[tids_all], kind="stable")
+    tids_sorted = tids_all[order]
+    TB = opts.templates_per_batch
+    for bstart in range(0, len(tids_sorted), TB):
+        tb_ids = tids_sorted[bstart:bstart + TB]
+        recs = _correct_bucket(store, cands, groups, tb_ids, opts, verbose)
+        records.extend(recs)
+    return records
+
+
+def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: bool):
+    TB = len(tb_ids)
+    Lt = _bucket_len(int(store.lengths[tb_ids].max()))
+    tbatch_np, tlens_np = store.padded_batch(tb_ids, pad_to=Lt, multiple=1)
+    tbatch = jnp.asarray(tbatch_np)
+    D = opts.max_delta
+
+    weights = jnp.zeros((TB + 1, Lt, D, 5), jnp.float32)
+    covten = jnp.zeros((TB + 1, Lt), jnp.int32)
+    cov_host = np.zeros((TB, Lt), np.int32)
+    extended: List[set] = [set() for _ in range(TB)]
+    cursor = np.zeros(TB, np.int64)
+    cutoff = np.full(TB, np.nan)
+    cand_idx = [groups[int(t)] for t in tb_ids]
+
+    round_id = 0
+    max_rounds = -(-opts.max_examined // opts.wave_size) + 1
+    while round_id <= max_rounds:
+        wave = (opts.n_ident + 10) if round_id == 0 else opts.wave_size
+        # build pair list for this round
+        rows, cidx = [], []
+        for b in range(TB):
+            idxs = cand_idx[b]
+            if cursor[b] >= len(idxs):
+                continue
+            n = int(tlens_np[b])
+            if round_id > 0 and np.all(cov_host[b, :n] >= opts.max_cov):
+                cursor[b] = len(idxs)
+                continue
+            taken = 0
+            while cursor[b] < len(idxs) and taken < wave:
+                ci = idxs[cursor[b]]
+                cursor[b] += 1
+                qid = int(cands.qid[ci])
+                if qid in extended[b]:
+                    continue
+                if round_id > 0:
+                    sb, se = int(cands.sbeg[ci]), int(cands.send[ci])
+                    if np.all(cov_host[b, sb:se] >= opts.max_cov):
+                        continue
+                extended[b].add(qid)
+                rows.append(b)
+                cidx.append(ci)
+                taken += 1
+        if not rows:
+            if round_id == 0:
+                round_id += 1
+                continue
+            break
+        rows = np.array(rows)
+        cidx = np.array(cidx)
+
+        # extension in query-length-bucketed chunks
+        results = _extend_pairs(store, cands, tbatch, tlens_np, rows, cidx, Lt, opts)
+
+        # round 0: estimate identity cutoffs
+        if round_id == 0:
+            for b in np.unique(rows):
+                sel = rows == b
+                r = results
+                ql, qr = r["qoff"][sel], r["qend"][sel]
+                tl, tr = r["toff"][sel], r["tend"][sel]
+                qs = cands.qsize[cidx[sel]]
+                ts = int(tlens_np[b])
+                ok_align = r["n_cols"][sel] >= opts.min_align_size
+                good = is_good_overlap(ql, qr, qs, tl, tr, ts, opts.good_end_margin) & ok_align
+                idents = r["ident"][sel][good][:opts.n_ident]
+                if len(idents) < opts.n_ident:
+                    spans = (((qr - ql) >= 0.6 * qs) | ((tr - tl) >= 0.6 * ts)) & ok_align
+                    idents = r["ident"][sel][spans][:opts.n_ident]
+                cutoff[b] = estimate_ident_cutoff(np.asarray(idents))
+
+        # acceptance
+        qs = cands.qsize[cidx]
+        ts = tlens_np[rows].astype(np.int64)
+        ql, qr = results["qoff"], results["qend"]
+        tl, tr = results["toff"], results["tend"]
+        ident = results["ident"]
+        cut = np.where(np.isnan(cutoff[rows]), 0.0, cutoff[rows])
+        ok = results["n_cols"] >= opts.min_align_size
+        ok &= check_mapping_range(ql, qr, qs, tl, tr, ts, opts.min_align_size, opts.mapping_ratio)
+        pass_ident = ident >= cut
+        if round_id > 0:
+            pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, ts, 5000, 100)
+        ok &= pass_ident
+
+        # scatter accepted tags
+        weights, covten = _scatter_round(results, rows, ok, weights, covten, tlens_np, TB)
+        for i in np.flatnonzero(ok):
+            b = rows[i]
+            cov_host[b, tl[i]:tr[i]] += 1
+        round_id += 1
+
+    # consensus call + compaction
+    emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac)
+    pieces = compact_consensus(np.asarray(emit), np.asarray(base), np.asarray(covten[:TB]),
+                               tlens_np, tbatch_np, opts.min_cov, opts.min_size, opts.raw_min_gap)
+    records = []
+    for b, (cns_p, raw_p) in enumerate(pieces):
+        tid = int(tb_ids[b])
+        n = int(tlens_np[b])
+        for (s, e, seq) in cns_p:
+            records.append(CnsRecord(tid=tid, left=s, right=e, org_size=n, seq=seq, corrected=True))
+        for (s, e, seq) in raw_p:
+            records.append(CnsRecord(tid=tid, left=s, right=e, org_size=n, seq=seq, corrected=False))
+    return records
+
+
+def _extend_pairs(store, cands, tbatch, tlens_np, rows, cidx, Lt, opts: CnsOptions):
+    """Extend all pairs of a round; returns host dict of per-pair results and keeps
+    device-side ops under keys (chunked)."""
+    qsizes = cands.qsize[cidx]
+    order = np.argsort(qsizes, kind="stable")
+    out = {k: np.zeros(len(cidx), np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
+    out["ident"] = np.zeros(len(cidx), np.float64)
+    out["chunks"] = []
+    PB = opts.pairs_per_chunk
+    for cs in range(0, len(order), PB):
+        sel = order[cs:cs + PB]
+        ci = cidx[sel]
+        LQ = _bucket_len(int(cands.qsize[ci].max()))
+        qb = np.zeros((len(sel), LQ), np.uint8)
+        for k, c in enumerate(ci):
+            s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
+            qb[k, :len(s)] = s
+        qlens = cands.qsize[ci].astype(np.int32)
+        trow = rows[sel]
+        tb_sel = tbatch[jnp.asarray(trow)]
+        tl_sel = tlens_np[trow].astype(np.int32)
+        res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens), tb_sel, jnp.asarray(tl_sel),
+                           jnp.asarray(cands.qbeg[ci]), jnp.asarray(cands.sbeg[ci]),
+                           W=opts.band_width)
+        for k in ("qoff", "qend", "toff", "tend", "n_cols"):
+            out[k][sel] = np.asarray(getattr(res, k))
+        out["ident"][sel] = np.asarray(res.ident)
+        out["chunks"].append((sel, res, jnp.asarray(qb)))
+    return out
+
+
+def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
+    for sel, res, qb in results["chunks"]:
+        ops, n_ops = tags_mod.combined_ops(res.left_ops, res.left_n, res.right_ops, res.right_n)
+        ok_sel = ok[sel]
+        pair_row = np.where(ok_sel, rows[sel], TB).astype(np.int32)
+        w = np.asarray(tags_mod.calc_cns_weight(results["ident"][sel])).astype(np.float32)
+        weights, covten = tags_mod.scatter_tags(
+            weights, covten, ops, n_ops, qb,
+            jnp.asarray(results["qoff"][sel].astype(np.int32)),
+            jnp.asarray(results["toff"][sel].astype(np.int32)),
+            jnp.asarray(pair_row),
+            jnp.asarray(w),
+            jnp.asarray(tlens_np[rows[sel]].astype(np.int32)))
+    return weights, covten

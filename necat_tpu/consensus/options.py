@@ -1,0 +1,35 @@
+"""Consensus (correction) options.
+
+Defaults mirror src/consensus/cns_options.c:10-22: min_align_size=400, min_cov=4,
+max_cov=12, min_size=500, mapping_ratio=0.8, error=0.5. Wave/estimation constants
+from consensus_one_read.c / error_estimate.c / consensus_aux.h.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CnsOptions:
+    min_align_size: int = 400
+    min_cov: int = 4
+    max_cov: int = 12
+    min_size: int = 500
+    mapping_ratio: float = 0.8
+    error: float = 0.5
+    full_consensus: bool = False
+    use_fixed_ident_cutoff: bool = False
+    # wave machinery (consensus_one_read.c:317-372, error_estimate.c)
+    max_examined: int = 300        # MAX_EXAMINED_CAN (consensus_aux.h:15)
+    wave_size: int = 50
+    n_ident: int = 15              # overlaps used for the identity estimate
+    good_end_margin: int = 200     # is_good_overlap M (error_estimate.c:19)
+    # consensus tensor shape / calling
+    max_delta: int = 8             # insertion states kept per template position
+    ins_frac: float = 0.35         # emit an insertion when weight >= ins_frac * coverage
+    raw_min_gap: int = 1000        # uncorrected interval passthrough (get_raw_intvs)
+    # batching
+    templates_per_batch: int = 32
+    pairs_per_chunk: int = 64
+    band_width: int = 128

@@ -1,0 +1,119 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from necat_tpu.align.banded import (OP_DEL, OP_DIAG, OP_INS, OP_PAD,
+                                    banded_forward, banded_traceback, clip_tail,
+                                    extend_batch)
+from necat_tpu.io import simulate
+
+
+def full_edit_dp(a, b):
+    """Oracle: unbanded edit distance."""
+    n, m = len(a), len(b)
+    dp = np.zeros((n + 1, m + 1), np.int64)
+    dp[:, 0] = np.arange(n + 1)
+    dp[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i, j] = min(dp[i - 1, j] + 1, dp[i, j - 1] + 1,
+                           dp[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return int(dp[n, m])
+
+
+def ops_are_valid_alignment(ops, n_ops, a, la, b, lb):
+    """Check ops consume exactly la query and lb target symbols."""
+    ops = ops[:n_ops]
+    q = int(np.sum(ops != OP_DEL))
+    t = int(np.sum(ops != OP_INS))
+    return q == la and t == lb
+
+
+def ops_cost(ops, n_ops, a, b):
+    q = t = cost = 0
+    for op in ops[:n_ops]:
+        if op == OP_DIAG:
+            cost += int(a[q] != b[t]); q += 1; t += 1
+        elif op == OP_DEL:
+            cost += 1; t += 1
+        elif op == OP_INS:
+            cost += 1; q += 1
+    return cost
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_banded_matches_full_dp(seed):
+    rng = np.random.default_rng(seed)
+    em = simulate.ErrorModel(sub=0.05, ins=0.05, dele=0.05)
+    B = 4
+    LA = LB = 512
+    a_np = np.zeros((B, LA), np.uint8)
+    b_np = np.zeros((B, LB), np.uint8)
+    la = np.zeros(B, np.int32)
+    lb = np.zeros(B, np.int32)
+    seqs = []
+    for i in range(B):
+        t = rng.integers(0, 4, size=int(rng.integers(200, 400))).astype(np.uint8)
+        q = simulate.mutate(t, em, rng)
+        a_np[i, :len(q)] = q; la[i] = len(q)
+        b_np[i, :len(t)] = t; lb[i] = len(t)
+        seqs.append((q, t))
+    dirs, offs, S_fin, cost = banded_forward(jnp.asarray(a_np), jnp.asarray(b_np),
+                                             jnp.asarray(la), jnp.asarray(lb), W=64, max_cols=LB)
+    cost = np.asarray(cost)
+    ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(lb), max_ops=LA + LB)
+    ops, n_ops = np.asarray(ops), np.asarray(n_ops)
+    for i in range(B):
+        q, t = seqs[i]
+        oracle = full_edit_dp(q, t)
+        assert cost[i] == oracle, f"pair {i}: banded {cost[i]} vs full {oracle}"
+        assert ops_are_valid_alignment(ops[i], n_ops[i], q, la[i], t, lb[i])
+        assert ops_cost(ops[i], n_ops[i], q, t) == oracle
+
+
+def test_banded_identical_sequences():
+    a = np.tile(np.array([0, 1, 2, 3], np.uint8), 32)[None, :]
+    la = np.array([128], np.int32)
+    dirs, offs, _, cost = banded_forward(jnp.asarray(a), jnp.asarray(a),
+                                         jnp.asarray(la), jnp.asarray(la), W=32, max_cols=128)
+    assert int(cost[0]) == 0
+    ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(la), max_ops=256)
+    assert int(n_ops[0]) == 128
+    assert np.all(np.asarray(ops)[0, :128] == OP_DIAG)
+
+
+def test_adaptive_band_tracks_indel_drift():
+    """A systematic deletion bias (net drift ~ 10% of length) must stay in band."""
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 4, 3000).astype(np.uint8)
+    em = simulate.ErrorModel(sub=0.02, ins=0.01, dele=0.10)  # strong drift
+    q = simulate.mutate(t, em, rng)
+    LA = LB = 3072
+    a = np.zeros((1, LA), np.uint8); a[0, :len(q)] = q
+    b = np.zeros((1, LB), np.uint8); b[0, :len(t)] = t
+    la = np.array([len(q)], np.int32); lb = np.array([len(t)], np.int32)
+    dirs, offs, _, cost = banded_forward(jnp.asarray(a), jnp.asarray(b),
+                                         jnp.asarray(la), jnp.asarray(lb), W=64, max_cols=LB)
+    oracle = full_edit_dp(q, t)
+    # W=64 covers local fluctuation; adaptive offset must absorb the ~300-base drift
+    assert int(cost[0]) <= oracle * 1.05 + 5
+
+
+def test_extend_batch_with_junk_tails():
+    rng = np.random.default_rng(4)
+    em = simulate.ErrorModel()
+    t = simulate.random_genome(3000, seed=9)
+    q_core = simulate.mutate(t, em, rng)
+    junk = rng.integers(0, 4, 500).astype(np.uint8)
+    q = np.concatenate([junk, q_core])
+    LQ, LT = 4096, 3072
+    qb = np.zeros((1, LQ), np.uint8); qb[0, :len(q)] = q
+    tb = np.zeros((1, LT), np.uint8); tb[0, :len(t)] = t
+    res = extend_batch(qb, np.array([len(q)], np.int32), tb, np.array([len(t)], np.int32),
+                       np.array([500 + 1500], np.int32), np.array([1500], np.int32), W=64)
+    qoff, qend = int(res.qoff[0]), int(res.qend[0])
+    toff, tend = int(res.toff[0]), int(res.tend[0])
+    assert abs(qoff - 500) < 80          # clipped at the junk junction
+    assert toff < 80                      # reaches target start
+    assert tend > len(t) - 80
+    assert float(res.ident[0]) > 80.0

@@ -1,0 +1,152 @@
+import numpy as np
+import jax.numpy as jnp
+
+from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS, OP_PAD
+from necat_tpu.consensus import tags as tags_mod
+from necat_tpu.consensus.backbone import call_consensus, compact_consensus
+from necat_tpu.consensus.correct import (correct_reads, estimate_ident_cutoff,
+                                         is_good_overlap, check_mapping_range)
+from necat_tpu.consensus.options import CnsOptions
+from necat_tpu.io import simulate
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.index.kmer_index import KmerIndex
+from necat_tpu.overlap.candidates import Candidates, find_candidates_batch, top_n_per_query
+from necat_tpu.overlap.options import MapOptions
+
+
+def test_combined_ops():
+    L = 8
+    left = np.full((1, L), OP_PAD, np.uint8)
+    right = np.full((1, L), OP_PAD, np.uint8)
+    left[0, :3] = [OP_DIAG, OP_INS, OP_DIAG]   # reversed prefix order
+    right[0, :2] = [OP_DIAG, OP_DEL]
+    ops, n = tags_mod.combined_ops(jnp.asarray(left), jnp.asarray(np.array([3], np.int32)),
+                                   jnp.asarray(right), jnp.asarray(np.array([2], np.int32)))
+    ops, n = np.asarray(ops), np.asarray(n)
+    assert n[0] == 5
+    assert ops[0, :5].tolist() == [OP_DIAG, OP_INS, OP_DIAG, OP_DIAG, OP_DEL]
+
+
+def test_scatter_tags_hand_case():
+    # template row 0, template = ACGT, query aligns tpos 0..3:
+    # ops: DIAG(A) DIAG(C) INS(G) DIAG(G) DEL
+    TB, Lt, D = 1, 8, 4
+    weights = jnp.zeros((TB + 1, Lt, D, 5), jnp.float32)
+    cov = jnp.zeros((TB + 1, Lt), jnp.int32)
+    ops = np.full((1, 10), OP_PAD, np.uint8)
+    ops[0, :5] = [OP_DIAG, OP_DIAG, OP_INS, OP_DIAG, OP_DEL]
+    qb = np.zeros((1, 8), np.uint8)
+    qb[0, :4] = [0, 1, 2, 2]  # A C G G
+    w, c = tags_mod.scatter_tags(
+        weights, cov, jnp.asarray(ops), jnp.asarray(np.array([5], np.int32)),
+        jnp.asarray(qb), jnp.asarray(np.array([0], np.int32)),
+        jnp.asarray(np.array([0], np.int32)), jnp.asarray(np.array([0], np.int32)),
+        jnp.asarray(np.array([1.0], np.float32)), jnp.asarray(np.array([4], np.int32)))
+    w, c = np.asarray(w), np.asarray(c)
+    assert w[0, 0, 0, 0] == 1.0          # t0 A
+    assert w[0, 1, 0, 1] == 1.0          # t1 C
+    assert w[0, 1, 1, 2] == 1.0          # insertion G after t1 (delta 1)
+    assert w[0, 2, 0, 2] == 1.0          # t2 G
+    assert w[0, 3, 0, 4] == 1.0          # t3 gap (deletion)
+    np.testing.assert_array_equal(c[0, :4], [1, 1, 1, 1])
+    assert c[0, 4:].sum() == 0
+
+
+def test_call_consensus_majority():
+    TB, L, D = 1, 6, 3
+    w = np.zeros((TB, L, D, 5), np.float32)
+    cov = np.zeros((TB, L), np.int32)
+    cov[0, :5] = 6
+    # t0: clear A
+    w[0, 0, 0, 0] = 5.0
+    # t1: gap wins (deletion)
+    w[0, 1, 0, 4] = 4.0; w[0, 1, 0, 1] = 2.0
+    # t2: C, plus strong insertion T (delta1) weight 4 >= 0.35*6
+    w[0, 2, 0, 1] = 5.0; w[0, 2, 1, 3] = 4.0
+    # t3: G, weak insertion (1.0 < 0.35*6) ignored
+    w[0, 3, 0, 2] = 5.0; w[0, 3, 1, 0] = 1.0
+    # t4: T
+    w[0, 4, 0, 3] = 6.0
+    # t5: uncovered
+    emit, base = call_consensus(jnp.asarray(w), jnp.asarray(cov), 4, 0.35)
+    emit, base = np.asarray(emit), np.asarray(base)
+    seq = base[0][emit[0]]
+    assert seq.tolist() == [0, 1, 3, 2, 3]  # A C T(ins) G T ; t1 deleted; t5 uncovered
+
+
+def test_compact_consensus_intervals():
+    TB, L, D = 1, 3000, 2
+    emit = np.zeros((TB, L, D), bool)
+    base = np.zeros((TB, L, D), np.uint8)
+    cov = np.zeros((TB, L), np.int32)
+    cov[0, 100:800] = 5      # 700 >= min_size
+    cov[0, 2500:2900] = 5    # 400 < min_size -> dropped
+    emit[0, :, 0] = True
+    base[0, :, 0] = 2
+    tmpl = np.ones((TB, L), np.uint8)
+    out = compact_consensus(emit, base, cov, np.array([3000]), tmpl,
+                            min_cov=4, min_size=500, raw_min_gap=1000)
+    cns, raw = out[0]
+    assert len(cns) == 1
+    s, e, seq = cns[0]
+    assert (s, e) == (100, 800)
+    assert len(seq) == 700 and np.all(seq == 2)
+    # raw: [0,100) too small; [800,3000) >= 1000 -> raw passthrough
+    assert len(raw) == 1
+    rs_, re_, rseq = raw[0]
+    assert (rs_, re_) == (800, 3000)
+    assert np.all(rseq == 1)
+
+
+def test_estimate_ident_cutoff():
+    assert estimate_ident_cutoff(np.array([])) == 0.0
+    assert estimate_ident_cutoff(np.array([90.0, 91, 92])) == 0.0  # n<5
+    idents = np.array([88, 89, 90, 91, 92, 93, 94, 95, 96, 97], float)
+    c = estimate_ident_cutoff(idents)
+    top = np.sort(idents)[::-1][:7]
+    assert abs(c - (top.mean() - 5 * top.std())) < 1e-9
+
+
+def test_helper_predicates():
+    assert is_good_overlap(10, 4900, 5000, 100, 5000, 8000)   # q fully covered
+    assert not is_good_overlap(1000, 4000, 5000, 1000, 4000, 8000)
+    assert check_mapping_range(0, 500, 5000, 0, 500, 5000, 400, 0.8)
+    assert not check_mapping_range(0, 300, 5000, 0, 300, 5000, 400, 0.8)
+
+
+def test_correction_end_to_end_small():
+    G = 30000
+    genome = simulate.random_genome(G, seed=21)
+    reads, st, sd, ln = simulate.simulate_reads(
+        genome, coverage=8, mean_len=5000, min_len=3000, max_len=7000, seed=3)
+    rs = ReadStore.from_seqs(reads)
+    idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 19, max_pairs=4096)
+    sub_off = jnp.asarray(rs.offsets.astype(np.int32))
+    parts = []
+    for qdir in (0, 1):
+        batch, lens = rs.padded_batch(np.arange(rs.n_reads), rc=bool(qdir))
+        parts.append(find_candidates_batch(idx, sub_off, 0, batch, lens,
+                     np.arange(rs.n_reads, dtype=np.int32), qdir,
+                     rs.lengths.astype(np.int32), opts, pairwise=True))
+    c = top_n_per_query(Candidates.concat(parts), 500)
+    call = Candidates.concat([c, c.swap_roles()])
+    recs = correct_reads(rs, call, CnsOptions(templates_per_batch=8, pairs_per_chunk=32))
+    corrected = [r for r in recs if r.corrected]
+    assert len(corrected) >= rs.n_reads * 0.5
+
+    idents = []
+    for r in corrected[:12]:
+        i = r.tid
+        frac_l, frac_r = r.left / len(reads[i]), r.right / len(reads[i])
+        s0, L0 = int(st[i]), int(ln[i])
+        if sd[i] == 0:
+            a, b = s0 + int(frac_l * L0), s0 + int(frac_r * L0)
+        else:
+            a, b = s0 + int((1 - frac_r) * L0), s0 + int((1 - frac_l) * L0)
+        if b - a < 500:
+            continue
+        seq = r.seq if sd[i] == 0 else (3 - r.seq[::-1]).astype(np.uint8)
+        idents.append(simulate.identity_to_genome(seq, genome, a, 0, b - a))
+    assert len(idents) >= 5
+    assert np.mean(idents) >= 93.0, f"mean corrected identity {np.mean(idents):.2f}"
