@@ -1,0 +1,160 @@
+"""End-to-end overlapper: read sets -> extended M4 overlaps.
+
+This is the TPU equivalent of the oc2asmpm / oc2pmov(-j 1) / oc2rm binaries
+(src/asm_pm/asmpm.c, src/pm_one_volume/pm_worker.c:28-82 extend_candidates,
+src/reference_mapping/rm_worker.c): candidate detection (index + chain DP)
+followed by banded extension to precise endpoints + identity. One code path
+serves all of: trim-stage all-vs-all, assembly overlaps on trimmed reads,
+read->contig mapping for bridging/polishing, and contig<->contig alignment.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from necat_tpu.align.banded import extend_batch
+from necat_tpu.index.kmer_index import KmerIndex
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.overlap.candidates import Candidates, find_candidates_batch, top_n_per_query
+from necat_tpu.overlap.m4 import M4Records
+from necat_tpu.overlap.options import MapOptions
+
+
+def _bucket_len(x: int, lo: int = 2048) -> int:
+    L = lo
+    while L < x:
+        L *= 2
+    return L
+
+
+def find_all_candidates(
+    qstore: ReadStore,
+    sstore: ReadStore,
+    opts: MapOptions,
+    pairwise: bool,
+    query_batch_size: int = 256,
+    index: Optional[KmerIndex] = None,
+    progress: Optional[Callable[[str], None]] = None,
+) -> Candidates:
+    """Candidates of all qstore reads against sstore (one volume).
+
+    pairwise=True means qstore is sstore and self/duplicate hits are suppressed
+    (each overlap reported once with sid < qid).
+    """
+    if index is None:
+        index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
+                                occ_cutoff=opts.occ_cutoff)
+    sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
+    sub_sizes = sstore.lengths.astype(np.int32)
+    parts = []
+    order = np.argsort(qstore.lengths, kind="stable")  # batch similar lengths together
+    for bs in range(0, qstore.n_reads, query_batch_size):
+        qidx = order[bs:bs + query_batch_size]
+        pad = _bucket_len(int(qstore.lengths[qidx].max()))
+        for qdir in (0, 1):
+            batch, lens = qstore.padded_batch(qidx, pad_to=pad, multiple=1, rc=bool(qdir))
+            parts.append(find_candidates_batch(
+                index, sub_off, 0, batch, lens, qidx.astype(np.int32), qdir,
+                sub_sizes, opts, pairwise=pairwise))
+        if progress:
+            progress(f"candidates: {min(bs + query_batch_size, qstore.n_reads)}/{qstore.n_reads} queries")
+    cands = Candidates.concat(parts)
+    return top_n_per_query(cands, opts.ncan)
+
+
+def extend_candidates(
+    cands: Candidates,
+    qstore: ReadStore,
+    sstore: ReadStore,
+    min_align_size: int = 400,
+    min_ident: float = 0.0,
+    band_width: int = 128,
+    pairs_per_chunk: int = 64,
+    progress: Optional[Callable[[str], None]] = None,
+) -> M4Records:
+    """Banded-extend candidates into M4 records (endpoints + identity)."""
+    n = len(cands)
+    out_parts = []
+    # bucket pairs by (qsize, ssize) padded lengths to bound recompiles
+    qpad = np.array([_bucket_len(int(q)) for q in cands.qsize])
+    spad = np.array([_bucket_len(int(s)) for s in cands.ssize])
+    order = np.lexsort((cands.qsize, spad, qpad))
+    for cs in range(0, n, pairs_per_chunk):
+        sel = order[cs:cs + pairs_per_chunk]
+        LQ = int(qpad[sel].max())
+        LT = int(spad[sel].max())
+        P = len(sel)
+        qb = np.zeros((P, LQ), np.uint8)
+        tb = np.zeros((P, LT), np.uint8)
+        for k, c in enumerate(sel):
+            qs = qstore.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
+            qb[k, :len(qs)] = qs
+            ts = sstore.get(int(cands.sid[c]))
+            tb[k, :len(ts)] = ts
+        res = extend_batch(jnp.asarray(qb), jnp.asarray(cands.qsize[sel]),
+                           jnp.asarray(tb), jnp.asarray(cands.ssize[sel]),
+                           jnp.asarray(cands.qbeg[sel]), jnp.asarray(cands.sbeg[sel]),
+                           W=band_width)
+        ident = np.asarray(res.ident)
+        n_cols = np.asarray(res.n_cols)
+        keep = (n_cols >= min_align_size) & (ident >= min_ident)
+        ki = np.flatnonzero(keep)
+        c_sel = sel[ki]
+        out_parts.append(M4Records(
+            qid=cands.qid[c_sel], sid=cands.sid[c_sel],
+            ident=ident[ki].astype(np.float32),
+            vscore=cands.score[c_sel],
+            qdir=cands.qdir[c_sel],
+            qoff=np.asarray(res.qoff)[ki].astype(np.int32),
+            qend=np.asarray(res.qend)[ki].astype(np.int32),
+            qsize=cands.qsize[c_sel],
+            sdir=np.zeros(len(ki), np.int8),
+            soff=np.asarray(res.toff)[ki].astype(np.int32),
+            send=np.asarray(res.tend)[ki].astype(np.int32),
+            ssize=cands.ssize[c_sel],
+        ))
+        if progress and (cs // pairs_per_chunk) % 20 == 0:
+            progress(f"extend: {min(cs + pairs_per_chunk, n)}/{n} candidates")
+    return M4Records.concat(out_parts)
+
+
+def overlap_all_vs_all(
+    store: ReadStore,
+    opts: MapOptions,
+    min_align_size: int = 400,
+    min_ident: float = 0.0,
+    band_width: int = 128,
+    query_batch_size: int = 256,
+    progress: Optional[Callable[[str], None]] = None,
+) -> M4Records:
+    """All-vs-all overlap detection of one read set (single volume).
+
+    Each overlap is reported once (sid < qid); use .swap_roles() + concat for
+    per-read coverage views (the pm4 duplication).
+    """
+    cands = find_all_candidates(store, store, opts, pairwise=True,
+                                query_batch_size=query_batch_size, progress=progress)
+    return extend_candidates(cands, store, store, min_align_size=min_align_size,
+                             min_ident=min_ident, band_width=band_width,
+                             progress=progress)
+
+
+def map_reads_to_reference(
+    qstore: ReadStore,
+    refstore: ReadStore,
+    opts: MapOptions,
+    min_align_size: int = 400,
+    min_ident: float = 0.0,
+    band_width: int = 128,
+    query_batch_size: int = 256,
+    progress: Optional[Callable[[str], None]] = None,
+) -> M4Records:
+    """Map reads against a reference set (contigs) — oc2rm equivalent."""
+    cands = find_all_candidates(qstore, refstore, opts, pairwise=False,
+                                query_batch_size=query_batch_size, progress=progress)
+    return extend_candidates(cands, qstore, refstore, min_align_size=min_align_size,
+                             min_ident=min_ident, band_width=band_width,
+                             progress=progress)

@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+
+from necat_tpu.io import simulate
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.overlap.m4 import M4Records
+from necat_tpu.overlap.options import MapOptions
+from necat_tpu.overlap.overlapper import overlap_all_vs_all
+from necat_tpu.trim.lcr import (TrimOptions, largest_cover_range, qualified_m4_mask,
+                                trim_reads, _chimeric_pair_check)
+
+
+def mk_m4(rows):
+    """rows: list of dicts with m4 fields (defaults filled)."""
+    n = len(rows)
+    d = dict(
+        qid=np.zeros(n, np.int32), sid=np.zeros(n, np.int32),
+        ident=np.full(n, 95.0, np.float32), vscore=np.full(n, 100, np.int32),
+        qdir=np.zeros(n, np.int8), qoff=np.zeros(n, np.int32), qend=np.zeros(n, np.int32),
+        qsize=np.zeros(n, np.int32), sdir=np.zeros(n, np.int8),
+        soff=np.zeros(n, np.int32), send=np.zeros(n, np.int32), ssize=np.zeros(n, np.int32))
+    for i, row in enumerate(rows):
+        for k, v in row.items():
+            d[k][i] = v
+    return M4Records(**d)
+
+
+def test_m4_roundtrip(tmp_path):
+    m4 = mk_m4([dict(qid=3, sid=1, qoff=10, qend=500, qsize=600, soff=0, send=480, ssize=2000),
+                dict(qid=4, sid=2, qdir=1, qoff=0, qend=100, qsize=100, soff=5, send=99, ssize=200)])
+    p = tmp_path / "x.m4.gz"
+    m4.save(p)
+    m42 = M4Records.load(p)
+    assert len(m42) == 2
+    np.testing.assert_array_equal(m42.qid, m4.qid)
+    np.testing.assert_array_equal(m42.soff, m4.soff)
+    np.testing.assert_allclose(m42.ident, m4.ident, atol=0.01)
+
+
+def test_m4_swap_roles_rev():
+    m4 = mk_m4([dict(qid=3, sid=1, qdir=1, qoff=100, qend=400, qsize=500,
+                     soff=50, send=350, ssize=1000)])
+    sw = m4.swap_roles()
+    assert sw.qid[0] == 1 and sw.sid[0] == 3
+    # mirrored: new qoff = ssize - send = 650, new qend = ssize - soff = 950
+    assert (sw.qoff[0], sw.qend[0]) == (650, 950)
+    assert (sw.soff[0], sw.send[0]) == (100, 400)
+    assert sw.qsize[0] == 1000 and sw.ssize[0] == 500
+
+
+def test_qualified_m4():
+    # q fully covered -> qualified
+    a = mk_m4([dict(qoff=5, qend=995, qsize=1000, soff=100, send=1100, ssize=5000)])
+    assert qualified_m4_mask(a)[0]
+    # dovetail: q right end to s left end, >= 2000 span
+    b = mk_m4([dict(qoff=500, qend=3000, qsize=3010, soff=10, send=2500, ssize=8000)])
+    assert qualified_m4_mask(b)[0]
+    # internal (repeat-like) alignment -> not qualified
+    c = mk_m4([dict(qoff=500, qend=3000, qsize=6000, soff=1000, send=3500, ssize=8000)])
+    assert not qualified_m4_mask(c)[0]
+
+
+def test_largest_cover_range_simple():
+    # two overlapping intervals + one detached
+    r = largest_cover_range(np.array([0, 400, 5000]), np.array([500, 1000, 5200]),
+                            min_cov=1, min_ovlp=1)
+    assert r == (0, 1000)
+
+
+def test_largest_cover_range_min_cov():
+    # depth 2 only in [200, 500)
+    r = largest_cover_range(np.array([0, 200, 200]), np.array([500, 500, 900]),
+                            min_cov=2, min_ovlp=1)
+    assert r == (200, 500)
+
+
+def test_chimeric_pair_check_case_ii():
+    # same query region aligned to two disjoint target halves, breakpoints close
+    r = _chimeric_pair_check(0, 4800, 10, 4790, 0, 4600, 4800, 9400,
+                             qsize=4800, tsize=9500)
+    assert r != 0
+
+
+def test_trim_end_to_end_with_chimera():
+    G = 40000
+    genome = simulate.random_genome(G, seed=31)
+    # trim operates on *corrected* reads (~99% identity; pair identity ~97%)
+    em = simulate.ErrorModel(sub=0.005, ins=0.005, dele=0.005)
+    reads, st, sd, ln = simulate.simulate_reads(
+        genome, coverage=8, mean_len=5000, min_len=3500, max_len=7000, em=em,
+        seed=13, circular=False)
+    # append a chimeric read: two distant segments joined
+    chim = np.concatenate([genome[2000:5000], genome[25000:28000]])
+    chim = simulate.mutate(chim, em, np.random.default_rng(5))
+    reads.append(chim)
+    rs = ReadStore.from_seqs(reads)
+    chim_id = rs.n_reads - 1
+
+    m4 = overlap_all_vs_all(rs, MapOptions(kmer_size=13, max_hits=1 << 19, max_pairs=4096),
+                            min_align_size=400, band_width=64)
+    assert len(m4) > 0
+    trimmed, kept, ranges = trim_reads(rs, m4, TrimOptions())
+    assert trimmed.n_reads >= rs.n_reads * 0.6
+    # chimeric read either dropped or clipped to roughly one half
+    if chim_id in kept.tolist():
+        i = kept.tolist().index(chim_id)
+        l, r = ranges[i]
+        assert r - l <= len(chim) * 0.7, f"chimera kept nearly whole: [{l},{r}) of {len(chim)}"
+    # normal reads keep most of their span
+    frac = []
+    for i, rid in enumerate(kept):
+        if rid == chim_id:
+            continue
+        l, r = ranges[i]
+        frac.append((r - l) / rs.lengths[rid])
+    assert np.median(frac) > 0.8
