@@ -26,9 +26,14 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=())
-def call_consensus(weights, coverage, min_cov, ins_frac):
+def call_consensus(weights, coverage, min_cov, ins_frac, ins_offset=1.0):
     """weights f32[TB, L, D, 5], coverage i32[TB, L] ->
-    (emit bool[TB, L, D], base uint8[TB, L, D])."""
+    (emit bool[TB, L, D], base uint8[TB, L, D]).
+
+    Insertions are emitted when their weight clears an AFFINE threshold
+    ins_frac*cov + ins_offset: the relative part mirrors the FALCON-sense
+    -0.2*cov node penalty, the absolute offset suppresses spurious
+    low-coverage homopolymer inserts (calibrated on the polish regime)."""
     w0 = weights[:, :, 0, :]                       # [TB, L, 5]
     b0 = jnp.argmax(w0, axis=-1)
     covered = coverage >= min_cov
@@ -37,7 +42,8 @@ def call_consensus(weights, coverage, min_cov, ins_frac):
     wk = weights[:, :, 1:, :4]                     # [TB, L, D-1, 4]
     bk = jnp.argmax(wk, axis=-1)
     wkmax = jnp.max(wk, axis=-1)
-    emitk = covered[:, :, None] & (wkmax >= ins_frac * jnp.maximum(coverage, 1)[:, :, None])
+    thr = ins_frac * jnp.maximum(coverage, 1)[:, :, None] + ins_offset
+    emitk = covered[:, :, None] & (wkmax >= thr)
 
     emit = jnp.concatenate([emit0[:, :, None], emitk], axis=2)
     base = jnp.concatenate([b0[:, :, None], bk], axis=2).astype(jnp.uint8)

@@ -147,7 +147,6 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     TB = len(tb_ids)
     Lt = _bucket_len(int(store.lengths[tb_ids].max()))
     tbatch_np, tlens_np = store.padded_batch(tb_ids, pad_to=Lt, multiple=1)
-    tbatch = jnp.asarray(tbatch_np)
     D = opts.max_delta
 
     weights = jnp.zeros((TB + 1, Lt, D, 5), jnp.float32)
@@ -159,6 +158,9 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     cand_idx = [groups[int(t)] for t in tb_ids]
 
     round_id = 0
+    if opts.use_fixed_ident_cutoff:
+        cutoff[:] = 100.0 * (1.0 - opts.error)
+        round_id = 1  # no estimation round (consensus_one_read.c:273-278)
     max_rounds = -(-opts.max_examined // opts.wave_size) + 1
     while round_id <= max_rounds:
         wave = (opts.n_ident + 10) if round_id == 0 else opts.wave_size
@@ -196,7 +198,7 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
         cidx = np.array(cidx)
 
         # extension in query-length-bucketed chunks
-        results = _extend_pairs(store, cands, tbatch, tlens_np, rows, cidx, Lt, opts)
+        results = _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts)
 
         # round 0: estimate identity cutoffs
         if round_id == 0:
@@ -237,7 +239,8 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
         round_id += 1
 
     # consensus call + compaction
-    emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac)
+    emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac,
+                                opts.ins_offset)
     pieces = compact_consensus(np.asarray(emit), np.asarray(base), np.asarray(covten[:TB]),
                                tlens_np, tbatch_np, opts.min_cov, opts.min_size, opts.raw_min_gap)
     records = []
@@ -251,10 +254,19 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     return records
 
 
-def _extend_pairs(store, cands, tbatch, tlens_np, rows, cidx, Lt, opts: CnsOptions):
+def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOptions):
     """Extend all pairs of a round; returns host dict of per-pair results and keeps
-    device-side ops under keys (chunked)."""
+    device-side ops under keys (chunked).
+
+    Targets are gathered as WINDOWS around each candidate anchor (bounded by
+    1.3x the query side, oc_aligner.c:127-131), so padded target size scales
+    with read length even for huge templates (polish segments)."""
     qsizes = cands.qsize[cidx]
+    left_need = (cands.qbeg[cidx].astype(np.int64) * 13) // 10 + 600
+    right_need = ((cands.qsize[cidx] - cands.qbeg[cidx]).astype(np.int64) * 13) // 10 + 600
+    ws = np.maximum(cands.sbeg[cidx] - left_need, 0)
+    we = np.minimum(cands.sbeg[cidx] + right_need, tlens_np[rows].astype(np.int64))
+    wlen = we - ws
     order = np.argsort(qsizes, kind="stable")
     out = {k: np.zeros(len(cidx), np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
     out["ident"] = np.zeros(len(cidx), np.float64)
@@ -264,26 +276,31 @@ def _extend_pairs(store, cands, tbatch, tlens_np, rows, cidx, Lt, opts: CnsOptio
         sel = order[cs:cs + PB]
         ci = cidx[sel]
         LQ = _bucket_len(int(cands.qsize[ci].max()))
+        LT = _bucket_len(int(wlen[sel].max()))
         qb = np.zeros((len(sel), LQ), np.uint8)
+        tb = np.zeros((len(sel), LT), np.uint8)
         for k, c in enumerate(ci):
             s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
             qb[k, :len(s)] = s
+            p = sel[k]
+            tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
         qlens = cands.qsize[ci].astype(np.int32)
-        trow = rows[sel]
-        tb_sel = tbatch[jnp.asarray(trow)]
-        tl_sel = tlens_np[trow].astype(np.int32)
-        res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens), tb_sel, jnp.asarray(tl_sel),
-                           jnp.asarray(cands.qbeg[ci]), jnp.asarray(cands.sbeg[ci]),
+        res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
+                           jnp.asarray(tb), jnp.asarray(wlen[sel].astype(np.int32)),
+                           jnp.asarray(cands.qbeg[ci]),
+                           jnp.asarray((cands.sbeg[ci] - ws[sel]).astype(np.int32)),
                            W=opts.band_width)
-        for k in ("qoff", "qend", "toff", "tend", "n_cols"):
+        for k in ("qoff", "qend", "n_cols"):
             out[k][sel] = np.asarray(getattr(res, k))
+        out["toff"][sel] = np.asarray(res.toff) + ws[sel]
+        out["tend"][sel] = np.asarray(res.tend) + ws[sel]
         out["ident"][sel] = np.asarray(res.ident)
-        out["chunks"].append((sel, res, jnp.asarray(qb)))
+        out["chunks"].append((sel, res, jnp.asarray(qb), ws[sel]))
     return out
 
 
 def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
-    for sel, res, qb in results["chunks"]:
+    for sel, res, qb, _ws in results["chunks"]:
         ops, n_ops = tags_mod.combined_ops(res.left_ops, res.left_n, res.right_ops, res.right_n)
         ok_sel = ok[sel]
         pair_row = np.where(ok_sel, rows[sel], TB).astype(np.int32)

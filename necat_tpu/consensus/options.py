@@ -27,7 +27,10 @@ class CnsOptions:
     good_end_margin: int = 200     # is_good_overlap M (error_estimate.c:19)
     # consensus tensor shape / calling
     max_delta: int = 8             # insertion states kept per template position
-    ins_frac: float = 0.35         # emit an insertion when weight >= ins_frac * coverage
+    ins_frac: float = 0.2          # insertion threshold slope: weight >= ins_frac*cov + ins_offset
+    ins_offset: float = 1.0        # absolute floor of the insertion threshold (calibrated:
+                                   # suppresses spurious homopolymer inserts at low coverage
+                                   # without dropping real inserts, whose support is ~0.7*cov)
     raw_min_gap: int = 1000        # uncorrected interval passthrough (get_raw_intvs)
     # batching
     templates_per_batch: int = 32

