@@ -26,6 +26,7 @@ from necat_tpu.consensus.backbone import call_consensus, compact_consensus
 from necat_tpu.consensus.options import CnsOptions
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates
+from necat_tpu.utils import shapes
 
 
 @dataclasses.dataclass
@@ -79,11 +80,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _bucket_len(x: int) -> int:
-    """Pad lengths to a small set of power-of-two buckets to bound recompiles."""
-    L = 2048
-    while L < x:
-        L *= 2
-    return L
+    """Pad lengths to one of the global shape tiers (bounds recompiles)."""
+    return shapes.length_tier(x)
 
 
 def group_by_template(cands: Candidates, max_examined: int):
@@ -144,9 +142,14 @@ def correct_reads(
 
 
 def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: bool):
-    TB = len(tb_ids)
+    n_real_templates = len(tb_ids)
+    TB = opts.templates_per_batch  # fixed batch shape; pad the tail bucket
+    if n_real_templates < TB:
+        tb_ids = np.concatenate([tb_ids, np.repeat(tb_ids[-1:], TB - n_real_templates)])
     Lt = _bucket_len(int(store.lengths[tb_ids].max()))
     tbatch_np, tlens_np = store.padded_batch(tb_ids, pad_to=Lt, multiple=1)
+    tlens_np = tlens_np.copy()
+    tlens_np[n_real_templates:] = 0  # padding rows emit nothing
     D = opts.max_delta
 
     weights = jnp.zeros((TB + 1, Lt, D, 5), jnp.float32)
@@ -155,7 +158,8 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     extended: List[set] = [set() for _ in range(TB)]
     cursor = np.zeros(TB, np.int64)
     cutoff = np.full(TB, np.nan)
-    cand_idx = [groups[int(t)] for t in tb_ids]
+    cand_idx = [groups[int(t)] if b < n_real_templates else np.zeros(0, np.int64)
+                for b, t in enumerate(tb_ids)]
 
     round_id = 0
     if opts.use_fixed_ident_cutoff:
@@ -245,6 +249,8 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
                                tlens_np, tbatch_np, opts.min_cov, opts.min_size, opts.raw_min_gap)
     records = []
     for b, (cns_p, raw_p) in enumerate(pieces):
+        if b >= n_real_templates:
+            break
         tid = int(tb_ids[b])
         n = int(tlens_np[b])
         for (s, e, seq) in cns_p:
@@ -267,34 +273,45 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
     ws = np.maximum(cands.sbeg[cidx] - left_need, 0)
     we = np.minimum(cands.sbeg[cidx] + right_need, tlens_np[rows].astype(np.int64))
     wlen = we - ws
-    order = np.argsort(qsizes, kind="stable")
+    # one tier per pair (query and window share it -> a single extension shape per tier)
+    tier = np.array([_bucket_len(int(max(q, w))) for q, w in zip(qsizes, wlen)])
+    order = np.lexsort((qsizes, tier))
     out = {k: np.zeros(len(cidx), np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
     out["ident"] = np.zeros(len(cidx), np.float64)
     out["chunks"] = []
-    PB = opts.pairs_per_chunk
-    for cs in range(0, len(order), PB):
+    cs = 0
+    while cs < len(order):
+        L = int(tier[order[cs]])
+        PB = min(shapes.pairs_per_chunk(L, opts.band_width), opts.pairs_per_chunk)
         sel = order[cs:cs + PB]
-        ci = cidx[sel]
-        LQ = _bucket_len(int(cands.qsize[ci].max()))
-        LT = _bucket_len(int(wlen[sel].max()))
-        qb = np.zeros((len(sel), LQ), np.uint8)
-        tb = np.zeros((len(sel), LT), np.uint8)
-        for k, c in enumerate(ci):
+        sel = sel[tier[sel] == L]       # keep the chunk single-tier
+        cs += len(sel)
+        n_real = len(sel)
+        LQ = LT = L
+        qb = np.zeros((PB, LQ), np.uint8)
+        tb = np.zeros((PB, LT), np.uint8)
+        qlens = np.zeros(PB, np.int32)
+        tlens = np.zeros(PB, np.int32)
+        aq = np.zeros(PB, np.int32)
+        at = np.zeros(PB, np.int32)
+        for k, p in enumerate(sel):
+            c = cidx[p]
             s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
             qb[k, :len(s)] = s
-            p = sel[k]
             tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
-        qlens = cands.qsize[ci].astype(np.int32)
+            qlens[k] = cands.qsize[c]
+            tlens[k] = wlen[p]
+            aq[k] = cands.qbeg[c]
+            at[k] = cands.sbeg[c] - ws[p]
         res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
-                           jnp.asarray(tb), jnp.asarray(wlen[sel].astype(np.int32)),
-                           jnp.asarray(cands.qbeg[ci]),
-                           jnp.asarray((cands.sbeg[ci] - ws[sel]).astype(np.int32)),
-                           W=opts.band_width)
+                           jnp.asarray(tb), jnp.asarray(tlens),
+                           jnp.asarray(aq), jnp.asarray(at), W=opts.band_width)
+        r = slice(0, n_real)
         for k in ("qoff", "qend", "n_cols"):
-            out[k][sel] = np.asarray(getattr(res, k))
-        out["toff"][sel] = np.asarray(res.toff) + ws[sel]
-        out["tend"][sel] = np.asarray(res.tend) + ws[sel]
-        out["ident"][sel] = np.asarray(res.ident)
+            out[k][sel] = np.asarray(getattr(res, k))[r]
+        out["toff"][sel] = np.asarray(res.toff)[r] + ws[sel]
+        out["tend"][sel] = np.asarray(res.tend)[r] + ws[sel]
+        out["ident"][sel] = np.asarray(res.ident)[r]
         out["chunks"].append((sel, res, jnp.asarray(qb), ws[sel]))
     return out
 
@@ -302,14 +319,20 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
 def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
     for sel, res, qb, _ws in results["chunks"]:
         ops, n_ops = tags_mod.combined_ops(res.left_ops, res.left_n, res.right_ops, res.right_n)
-        ok_sel = ok[sel]
-        pair_row = np.where(ok_sel, rows[sel], TB).astype(np.int32)
-        w = np.asarray(tags_mod.calc_cns_weight(results["ident"][sel])).astype(np.float32)
+        PB = int(ops.shape[0])
+        n_real = len(sel)
+        pair_row = np.full(PB, TB, np.int32)           # padding rows -> trash row
+        pair_row[:n_real] = np.where(ok[sel], rows[sel], TB)
+        w = np.zeros(PB, np.float32)
+        w[:n_real] = np.asarray(tags_mod.calc_cns_weight(results["ident"][sel]))
+        qoff = np.zeros(PB, np.int32)
+        qoff[:n_real] = results["qoff"][sel]
+        toff = np.zeros(PB, np.int32)
+        toff[:n_real] = results["toff"][sel]
+        tsz = np.zeros(PB, np.int32)
+        tsz[:n_real] = tlens_np[rows[sel]]
         weights, covten = tags_mod.scatter_tags(
             weights, covten, ops, n_ops, qb,
-            jnp.asarray(results["qoff"][sel].astype(np.int32)),
-            jnp.asarray(results["toff"][sel].astype(np.int32)),
-            jnp.asarray(pair_row),
-            jnp.asarray(w),
-            jnp.asarray(tlens_np[rows[sel]].astype(np.int32)))
+            jnp.asarray(qoff), jnp.asarray(toff), jnp.asarray(pair_row),
+            jnp.asarray(w), jnp.asarray(tsz))
     return weights, covten

@@ -34,5 +34,5 @@ class CnsOptions:
     raw_min_gap: int = 1000        # uncorrected interval passthrough (get_raw_intvs)
     # batching
     templates_per_batch: int = 32
-    pairs_per_chunk: int = 64
+    pairs_per_chunk: int = 512
     band_width: int = 128

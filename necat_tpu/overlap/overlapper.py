@@ -21,13 +21,11 @@ from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates, find_candidates_batch, top_n_per_query
 from necat_tpu.overlap.m4 import M4Records
 from necat_tpu.overlap.options import MapOptions
+from necat_tpu.utils import shapes
 
 
 def _bucket_len(x: int, lo: int = 2048) -> int:
-    L = lo
-    while L < x:
-        L *= 2
-    return L
+    return shapes.length_tier(x)
 
 
 def find_all_candidates(
@@ -53,9 +51,14 @@ def find_all_candidates(
     order = np.argsort(qstore.lengths, kind="stable")  # batch similar lengths together
     for bs in range(0, qstore.n_reads, query_batch_size):
         qidx = order[bs:bs + query_batch_size]
+        n_real = len(qidx)
+        if n_real < query_batch_size:  # pad to a fixed batch shape
+            qidx = np.concatenate([qidx, np.repeat(qidx[-1:], query_batch_size - n_real)])
         pad = _bucket_len(int(qstore.lengths[qidx].max()))
         for qdir in (0, 1):
             batch, lens = qstore.padded_batch(qidx, pad_to=pad, multiple=1, rc=bool(qdir))
+            lens = lens.copy()
+            lens[n_real:] = 0  # padding rows produce no k-mers, hence no hits
             parts.append(find_candidates_batch(
                 index, sub_off, 0, batch, lens, qidx.astype(np.int32), qdir,
                 sub_sizes, opts, pairwise=pairwise))
@@ -86,7 +89,7 @@ def extend_candidates(
     min_align_size: int = 400,
     min_ident: float = 0.0,
     band_width: int = 128,
-    pairs_per_chunk: int = 64,
+    pairs_per_chunk: int = 512,
     progress: Optional[Callable[[str], None]] = None,
 ) -> M4Records:
     """Banded-extend candidates into M4 records (endpoints + identity)."""
@@ -94,29 +97,37 @@ def extend_candidates(
     out_parts = []
     ws, we = subject_windows(cands)
     wlen = we - ws
-    # bucket pairs by (qsize, window) padded lengths to bound recompiles
-    qpad = np.array([_bucket_len(int(q)) for q in cands.qsize])
-    spad = np.array([_bucket_len(int(s)) for s in wlen])
-    order = np.lexsort((cands.qsize, spad, qpad))
-    for cs in range(0, n, pairs_per_chunk):
-        sel = order[cs:cs + pairs_per_chunk]
-        LQ = int(qpad[sel].max())
-        LT = int(spad[sel].max())
-        P = len(sel)
-        qb = np.zeros((P, LQ), np.uint8)
-        tb = np.zeros((P, LT), np.uint8)
+    # one tier per pair: query and subject window share the padded length
+    tier = np.array([_bucket_len(int(max(q, w))) for q, w in zip(cands.qsize, wlen)])
+    order = np.lexsort((cands.qsize, tier))
+    cs = 0
+    while cs < n:
+        L = int(tier[order[cs]])
+        PB = min(shapes.pairs_per_chunk(L, band_width), pairs_per_chunk)
+        sel = order[cs:cs + PB]
+        sel = sel[tier[sel] == L]
+        cs += len(sel)
+        n_real = len(sel)
+        qb = np.zeros((PB, L), np.uint8)
+        tb = np.zeros((PB, L), np.uint8)
+        qlens = np.zeros(PB, np.int32)
+        tlens = np.zeros(PB, np.int32)
+        aq = np.zeros(PB, np.int32)
+        at = np.zeros(PB, np.int32)
         for k, c in enumerate(sel):
             qs = qstore.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
             qb[k, :len(qs)] = qs
             ts = sstore.get(int(cands.sid[c]))[ws[c]:we[c]]
             tb[k, :len(ts)] = ts
-        res = extend_batch(jnp.asarray(qb), jnp.asarray(cands.qsize[sel]),
-                           jnp.asarray(tb), jnp.asarray(wlen[sel].astype(np.int32)),
-                           jnp.asarray(cands.qbeg[sel]),
-                           jnp.asarray((cands.sbeg[sel] - ws[sel]).astype(np.int32)),
-                           W=band_width)
-        ident = np.asarray(res.ident)
-        n_cols = np.asarray(res.n_cols)
+            qlens[k] = cands.qsize[c]
+            tlens[k] = wlen[c]
+            aq[k] = cands.qbeg[c]
+            at[k] = cands.sbeg[c] - ws[c]
+        res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
+                           jnp.asarray(tb), jnp.asarray(tlens),
+                           jnp.asarray(aq), jnp.asarray(at), W=band_width)
+        ident = np.asarray(res.ident)[:n_real]
+        n_cols = np.asarray(res.n_cols)[:n_real]
         keep = (n_cols >= min_align_size) & (ident >= min_ident)
         ki = np.flatnonzero(keep)
         c_sel = sel[ki]

@@ -1,0 +1,208 @@
+"""Pipeline stage orchestration with Plgd-style resume.
+
+Replaces the Perl job engine (Plgd/Project.pm runJob/serialRunJobs): each stage
+writes its outputs plus a `.done.json` manifest (input fingerprints + params);
+a stage re-runs only when an input changed or the manifest is missing —
+the reference's "outputs newer than inputs AND .done has rc 0" skip rule
+(Project.pm:131-177, Utils.pm:61-79). Stage layout mirrors necat.pl's project
+directories (1-consensus, 2-trim_bases, 3-assembly, 4-fsa, 6-bridge_contigs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import time
+from typing import Callable, List
+
+import numpy as np
+
+from necat_tpu.assembly.contigs import assemble
+from necat_tpu.assembly.overlap_filter import FilterOptions
+from necat_tpu.consensus.correct import correct_reads
+from necat_tpu.consensus.options import CnsOptions
+from necat_tpu.io import seqio
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.overlap.candidates import Candidates
+from necat_tpu.overlap.m4 import M4Records
+from necat_tpu.overlap.options import MapOptions
+from necat_tpu.overlap.overlapper import find_all_candidates, overlap_all_vs_all
+from necat_tpu.pipeline.config import Config
+from necat_tpu.polish.polish import PolishOptions, polish_contigs
+from necat_tpu.trim.lcr import TrimOptions, trim_reads
+from necat_tpu.utils.logging import logger
+
+
+def _fingerprint(paths: List[str]) -> str:
+    h = hashlib.sha256()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
+           params: dict, fn: Callable[[], None]) -> bool:
+    """Run fn unless outputs are up to date. Returns True if it ran."""
+    os.makedirs(workdir, exist_ok=True)
+    done_path = os.path.join(workdir, f"{name}.done.json")
+    fp = _fingerprint(ifiles)
+    pjson = json.dumps(params, sort_keys=True, default=str)
+    if os.path.exists(done_path) and all(os.path.exists(o) for o in ofiles):
+        try:
+            d = json.load(open(done_path))
+            if d.get("input_fp") == fp and d.get("params") == pjson and d.get("rc") == 0:
+                logger.info("stage %s: up to date, skipping", name)
+                return False
+        except Exception:
+            pass
+    logger.info("stage %s: running", name)
+    t0 = time.time()
+    fn()
+    json.dump({"input_fp": fp, "params": pjson, "rc": 0,
+               "wall_s": round(time.time() - t0, 1)}, open(done_path, "w"))
+    logger.info("stage %s: done in %.1fs", name, time.time() - t0)
+    return True
+
+
+def _read_input_list(cfg: Config) -> List[str]:
+    files = []
+    with open(cfg.read_list) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                files.append(line)
+    return files
+
+
+def load_raw_reads(cfg: Config) -> ReadStore:
+    stores = [ReadStore.from_fasta(p, min_length=cfg.min_read_length)
+              for p in _read_input_list(cfg)]
+    if len(stores) == 1:
+        return stores[0]
+    seqs = [s.get(i) for s in stores for i in range(s.n_reads)]
+    names = [n for s in stores for n in s.names]
+    return ReadStore.from_seqs(seqs, names)
+
+
+@dataclasses.dataclass
+class Project:
+    cfg: Config
+    root: str
+
+    def __post_init__(self):
+        os.makedirs(self.root, exist_ok=True)
+
+    def path(self, *parts) -> str:
+        return os.path.join(self.root, *parts)
+
+    # ------------------------------------------------------------------ stages
+    def run_correct(self) -> str:
+        """necat.pl correct (runConsensus, :420-520). Returns cns_final path."""
+        cfg = self.cfg
+        wd = self.path("1-consensus")
+        out = os.path.join(wd, "cns_final.fasta.gz")
+        ifiles = _read_input_list(cfg)
+
+        def fn():
+            reads = load_raw_reads(cfg)
+            # prep: longest reads to PREP_OUTPUT_COVERAGE (runCnsPrepare)
+            if cfg.genome_size > 0:
+                keep = reads.longest_to_coverage(cfg.genome_size, cfg.prep_output_coverage)
+                reads = reads.subset(keep)
+            cur = reads
+            for it in range(cfg.num_iter):
+                logger.info("correction iteration %d/%d: %d reads",
+                            it + 1, cfg.num_iter, cur.n_reads)
+                cands = find_all_candidates(cur, cur, MapOptions(), pairwise=True)
+                call = Candidates.concat([cands, cands.swap_roles()])
+                recs = correct_reads(cur, call, CnsOptions())
+                seqs = [r.seq for r in recs]
+                names = [f"{r.tid}_{r.left}_{r.right}_{r.org_size}" for r in recs]
+                cur = ReadStore.from_seqs(seqs, names)
+            # extract longest corrected to CNS_OUTPUT_COVERAGE (runCnsExtract)
+            if cfg.genome_size > 0:
+                keep = cur.longest_to_coverage(cfg.genome_size, cfg.cns_output_coverage)
+                cur = cur.subset(keep)
+            cur.to_fasta(out)
+            n50, _ = cur.n50()
+            logger.info("cns_final: %d reads, %d bases, N50 %d",
+                        cur.n_reads, cur.total_bases, n50)
+
+        _stage(wd, "correct", ifiles, [out],
+               {"num_iter": cfg.num_iter, "cov": cfg.prep_output_coverage}, fn)
+        return out
+
+    def run_trim(self) -> str:
+        """Trim stage (runTrimBases*): returns trimReads path."""
+        cns = self.run_correct()
+        wd = self.path("2-trim_bases")
+        out = self.path("trimReads.fasta.gz")
+
+        def fn():
+            reads = ReadStore.from_fasta(cns)
+            m4 = overlap_all_vs_all(reads, MapOptions(ncan=100))
+            trimmed, kept, ranges = trim_reads(reads, m4, TrimOptions())
+            trimmed.to_fasta(out)
+            logger.info("trimmed: %d/%d reads kept", trimmed.n_reads, reads.n_reads)
+
+        _stage(wd, "trim", [cns], [out], {}, fn)
+        return out
+
+    def run_assemble(self) -> str:
+        """Assembly (runAlignReads + runAssemble): returns contigs path."""
+        trimmed_path = self.run_trim()
+        wd = self.path("4-fsa")
+        out = os.path.join(wd, "contigs.fasta")
+
+        def fn():
+            trimmed = ReadStore.from_fasta(trimmed_path)
+            m4 = overlap_all_vs_all(trimmed, MapOptions(ncan=100))
+            os.makedirs(wd, exist_ok=True)
+            m4.save(os.path.join(wd, "pm.m4.gz"))
+            res = assemble(trimmed, m4, FilterOptions())
+            res.contigs.to_fasta(out)
+            with open(os.path.join(wd, "contig_tiles"), "w") as f:
+                for ci, tiles in enumerate(res.tiles):
+                    for t in tiles:
+                        f.write(f"ctg{ci}\t{t.read}\t{t.orient}\t{t.ctg_start}\t{t.ctg_end}\n")
+            n50, _ = res.contigs.n50()
+            logger.info("contigs: %d, total %d, N50 %d",
+                        res.contigs.n_reads, res.contigs.total_bases, n50)
+
+        _stage(wd, "assemble", [trimmed_path], [out], {}, fn)
+        return out
+
+    def run_bridge(self) -> str:
+        """Bridge stage (runAlignContigs + runBridgeContigs)."""
+        ctg_path = self.run_assemble()
+        wd = self.path("6-bridge_contigs")
+        out = os.path.join(wd, "bridged_contigs.fasta")
+
+        def fn():
+            from necat_tpu.bridge.bridge import bridge_contigs
+            contigs = ReadStore.from_fasta(ctg_path)
+            reads = load_raw_reads(self.cfg)
+            bridged = bridge_contigs(contigs, reads)
+            bridged.to_fasta(out)
+
+        _stage(wd, "bridge", [ctg_path], [out], {}, fn)
+        return out
+
+    def run_polish(self, ctg_path: str, tag: str) -> str:
+        wd = self.path(f"{tag}-polish")
+        out = self.path(f"polished_contigs.fasta" if tag == "final" else f"{tag}_polished.fasta")
+
+        def fn():
+            contigs = ReadStore.from_fasta(ctg_path)
+            reads = load_raw_reads(self.cfg)
+            pol = polish_contigs(contigs, reads)
+            pol.to_fasta(out)
+            n50, _ = pol.n50()
+            logger.info("polished: %d contigs, total %d, N50 %d",
+                        pol.n_reads, pol.total_bases, n50)
+
+        _stage(wd, "polish", [ctg_path], [out], {}, fn)
+        return out

@@ -1,0 +1,31 @@
+"""Static shape tiers.
+
+Every device computation pads its arrays to one of a few fixed tiers so the
+whole pipeline compiles only a handful of XLA programs (compiles are expensive,
+especially through a remote-attached TPU). Queries and target windows share a
+tier, so the extension kernel has exactly one shape per tier.
+"""
+
+from __future__ import annotations
+
+# sequence-length tiers (reads 3 kb - 40 kb + polish windows)
+LENGTH_TIERS = (2048, 8192, 32768, 131072)
+
+# dirs-buffer budget for the banded aligner: PB * L * W bytes
+EXTENSION_BYTES = 256 << 20
+BAND_W_DEFAULT = 128
+
+
+def length_tier(x: int) -> int:
+    for t in LENGTH_TIERS:
+        if x <= t:
+            return t
+    # beyond the largest tier: next power of two (rare; polish segments cap this)
+    t = LENGTH_TIERS[-1]
+    while t < x:
+        t *= 2
+    return t
+
+
+def pairs_per_chunk(L: int, W: int = BAND_W_DEFAULT, cap: int = 512) -> int:
+    return max(8, min(cap, EXTENSION_BYTES // (L * W)))

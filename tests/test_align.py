@@ -117,3 +117,34 @@ def test_extend_batch_with_junk_tails():
     assert toff < 80                      # reaches target start
     assert tend > len(t) - 80
     assert float(res.ident[0]) > 80.0
+
+
+def test_pallas_kernel_matches_oracle_interpret():
+    """The Pallas forward kernel (interpret mode) must match the unbanded oracle
+    and produce traceback-consistent dirs."""
+    import jax
+    from necat_tpu.align.pallas_banded import banded_forward_pallas
+    from necat_tpu.align.banded import banded_traceback
+
+    rng = np.random.default_rng(7)
+    em = simulate.ErrorModel(sub=0.05, ins=0.05, dele=0.05)
+    PB, L, W = 8, 512, 64
+    a = np.zeros((PB, L), np.uint8)
+    b = np.zeros((PB, L), np.uint8)
+    la = np.zeros(PB, np.int32)
+    lb = np.zeros(PB, np.int32)
+    for i in range(PB):
+        t = rng.integers(0, 4, int(rng.integers(250, 480))).astype(np.uint8)
+        q = simulate.mutate(t, em, rng)[:L]
+        a[i, :len(q)] = q; la[i] = len(q)
+        b[i, :len(t)] = t; lb[i] = len(t)
+    dirs, offs, _, cost = banded_forward_pallas(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+        W, L, interpret=True)
+    ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(lb), 2 * L)
+    ops, n_ops = np.asarray(ops), np.asarray(n_ops)
+    for i in range(PB):
+        oracle = full_edit_dp(a[i, :la[i]], b[i, :lb[i]])
+        assert int(cost[i]) == oracle, f"pair {i}"
+        assert ops_are_valid_alignment(ops[i], n_ops[i], a[i], la[i], b[i], lb[i])
+        assert ops_cost(ops[i], n_ops[i], a[i], b[i]) == oracle
