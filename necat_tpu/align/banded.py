@@ -109,14 +109,22 @@ def banded_forward(a, b, la, lb, W: int, max_cols: int):
 @functools.partial(jax.jit, static_argnames=("max_ops",))
 def banded_traceback(dirs, offs, la, lb, max_ops: int):
     """Walk dirs from (la, lb) back to (0, 0); return ops [B, max_ops] start->end
-    (left-aligned, OP_PAD tail) and op counts."""
-    B, LB, W = dirs.shape
+    (left-aligned, OP_PAD tail) and op counts.
 
-    def step(state, _):
-        r, j, done = state
+    Uses a while_loop so the walk stops when every pair reaches the origin
+    (typical path length la+lb, far below the max_ops bound)."""
+    B, LB, W = dirs.shape
+    bidx = jnp.arange(B)
+
+    def cond(state):
+        r, j, done, ops_rev, k = state
+        return (~done).any() & (k < max_ops)
+
+    def body(state):
+        r, j, done, ops_rev, k = state
         slot = jnp.clip(r - jnp.take_along_axis(offs, j[:, None], axis=1)[:, 0], 0, W - 1)
         jj = jnp.clip(j - 1, 0, LB - 1)
-        dcur = dirs[jnp.arange(B), jj, slot]
+        dcur = dirs[bidx, jj, slot]
         # forced moves at borders
         dcur = jnp.where(r == 0, OP_DEL, dcur)
         dcur = jnp.where(j == 0, OP_INS, dcur)
@@ -126,11 +134,13 @@ def banded_traceback(dirs, offs, la, lb, max_ops: int):
         r = r - jnp.where(done, 0, dr)
         j = j - jnp.where(done, 0, dj)
         done = done | ((r == 0) & (j == 0))
-        return (r, j, done), op
+        ops_rev = ops_rev.at[:, k].set(op)
+        return (r, j, done, ops_rev, k + 1)
 
     done0 = (la == 0) & (lb == 0)
-    (_, _, _), ops_rev = jax.lax.scan(step, (la, lb, done0), None, length=max_ops)
-    ops_rev = ops_rev.transpose(1, 0)                   # [B, max_ops], end->start
+    ops_rev0 = jnp.full((B, max_ops), OP_PAD, jnp.uint8)
+    _, _, _, ops_rev, _ = jax.lax.while_loop(
+        cond, body, (la, lb, done0, ops_rev0, jnp.int32(0)))
     n_ops = (ops_rev != OP_PAD).sum(axis=1).astype(jnp.int32)
     # reverse into start->end, left-aligned
     idx = n_ops[:, None] - 1 - jnp.arange(max_ops)[None, :]
@@ -149,12 +159,10 @@ def clip_tail(ops, n_ops, a, b, tail_match: int = TAIL_MATCH):
     tb = jnp.take_along_axis(b, jnp.clip(tpos - 1, 0, b.shape[1] - 1), axis=1)
     valid = jnp.arange(L)[None, :] < n_ops[:, None]
     match = (ops == OP_DIAG) & (qb == tb) & valid
-    # run length of consecutive matches ending at i
-    def runstep(carry, x):
-        run = jnp.where(x, carry + 1, 0)
-        return run, run
-    _, runs = jax.lax.scan(runstep, jnp.zeros(B, jnp.int32), match.transpose(1, 0))
-    runs = runs.transpose(1, 0)
+    # run length of consecutive matches ending at i: i - (last non-match <= i)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    last_nonmatch = jax.lax.cummax(jnp.where(match, -1, idx), axis=1)
+    runs = idx - last_nonmatch
     good = runs >= tail_match
     any_good = good.any(axis=1)
     last_good = jnp.max(jnp.where(good, jnp.arange(L)[None, :], -1), axis=1)
@@ -193,6 +201,17 @@ def extend_batch(
     W: int = 128,
     tail_match: int = TAIL_MATCH,
 ):
+    """One fused jit call per batch (the chunk loop calls this hundreds of
+    times; per-dispatch latency through a remote-attached TPU is milliseconds,
+    so the whole two-pass extension compiles as a single program)."""
+    out = _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
+                            W=W, tail_match=tail_match)
+    return ExtensionResult(**out)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "tail_match"))
+def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
+                      W: int, tail_match: int):
     """Extend alignments outward from anchors for a batch of (query, target) pairs.
 
     Returns ExtensionResult with device arrays:
@@ -254,9 +273,11 @@ def extend_batch(
     n_cols = out["left"]["n_ops"] + out["right"]["n_ops"]
     n_match = out["left"]["n_match"] + out["right"]["n_match"]
     ident = jnp.where(n_cols > 0, 100.0 * n_match / jnp.maximum(n_cols, 1), 0.0)
-    return ExtensionResult(
+    # stats packed into one array so callers do a single host transfer
+    stats = jnp.stack([qoff, qend, toff, tend, n_cols, n_match], axis=0)
+    return dict(
         left_ops=out["left"]["ops"], left_n=out["left"]["n_ops"],
         right_ops=out["right"]["ops"], right_n=out["right"]["n_ops"],
         qoff=qoff, qend=qend, toff=toff, tend=tend,
-        n_cols=n_cols, n_match=n_match, ident=ident,
+        n_cols=n_cols, n_match=n_match, ident=ident, stats=stats,
     )

@@ -27,27 +27,28 @@ import numpy as np
 
 @functools.partial(jax.jit, static_argnames=())
 def call_consensus(weights, coverage, min_cov, ins_frac, ins_offset=1.0):
-    """weights f32[TB, L, D, 5], coverage i32[TB, L] ->
-    (emit bool[TB, L, D], base uint8[TB, L, D]).
+    """weights f32[TB, D, 5, L] (positions last for TPU tiling),
+    coverage i32[TB, L] -> (emit bool[TB, L, D], base uint8[TB, L, D]).
 
     Insertions are emitted when their weight clears an AFFINE threshold
     ins_frac*cov + ins_offset: the relative part mirrors the FALCON-sense
     -0.2*cov node penalty, the absolute offset suppresses spurious
     low-coverage homopolymer inserts (calibrated on the polish regime)."""
-    w0 = weights[:, :, 0, :]                       # [TB, L, 5]
-    b0 = jnp.argmax(w0, axis=-1)
+    w0 = weights[:, 0, :, :]                       # [TB, 5, L]
+    b0 = jnp.argmax(w0, axis=1)                    # [TB, L]
     covered = coverage >= min_cov
-    emit0 = covered & (b0 < 4) & (jnp.max(w0, axis=-1) > 0)
+    emit0 = covered & (b0 < 4) & (jnp.max(w0, axis=1) > 0)
 
-    wk = weights[:, :, 1:, :4]                     # [TB, L, D-1, 4]
-    bk = jnp.argmax(wk, axis=-1)
-    wkmax = jnp.max(wk, axis=-1)
-    thr = ins_frac * jnp.maximum(coverage, 1)[:, :, None] + ins_offset
-    emitk = covered[:, :, None] & (wkmax >= thr)
+    wk = weights[:, 1:, :4, :]                     # [TB, D-1, 4, L]
+    bk = jnp.argmax(wk, axis=2)                    # [TB, D-1, L]
+    wkmax = jnp.max(wk, axis=2)
+    thr = ins_frac * jnp.maximum(coverage, 1)[:, None, :] + ins_offset
+    emitk = covered[:, None, :] & (wkmax >= thr)
 
-    emit = jnp.concatenate([emit0[:, :, None], emitk], axis=2)
-    base = jnp.concatenate([b0[:, :, None], bk], axis=2).astype(jnp.uint8)
-    return emit, base
+    emit = jnp.concatenate([emit0[:, None, :], emitk], axis=1)   # [TB, D, L]
+    base = jnp.concatenate([b0[:, None, :], bk], axis=1).astype(jnp.uint8)
+    # compact_consensus expects [TB, L, D]
+    return emit.transpose(0, 2, 1), base.transpose(0, 2, 1)
 
 
 def compact_consensus(

@@ -152,7 +152,7 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     tlens_np[n_real_templates:] = 0  # padding rows emit nothing
     D = opts.max_delta
 
-    weights = jnp.zeros((TB + 1, Lt, D, 5), jnp.float32)
+    weights = jnp.zeros((TB + 1, D, 5, Lt), jnp.float32)
     covten = jnp.zeros((TB + 1, Lt), jnp.int32)
     cov_host = np.zeros((TB, Lt), np.int32)
     extended: List[set] = [set() for _ in range(TB)]
@@ -306,33 +306,35 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
         res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
                            jnp.asarray(tb), jnp.asarray(tlens),
                            jnp.asarray(aq), jnp.asarray(at), W=opts.band_width)
+        st = np.asarray(res.stats)          # single host transfer: [6, PB]
         r = slice(0, n_real)
-        for k in ("qoff", "qend", "n_cols"):
-            out[k][sel] = np.asarray(getattr(res, k))[r]
-        out["toff"][sel] = np.asarray(res.toff)[r] + ws[sel]
-        out["tend"][sel] = np.asarray(res.tend)[r] + ws[sel]
+        out["qoff"][sel] = st[0, r]
+        out["qend"][sel] = st[1, r]
+        out["toff"][sel] = st[2, r] + ws[sel]
+        out["tend"][sel] = st[3, r] + ws[sel]
+        out["n_cols"][sel] = st[4, r]
         out["ident"][sel] = np.asarray(res.ident)[r]
-        out["chunks"].append((sel, res, jnp.asarray(qb), ws[sel]))
+        out["chunks"].append((sel, res, jnp.asarray(qb), ws[sel], aq.copy(), at.copy()))
     return out
 
 
 def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
-    for sel, res, qb, _ws in results["chunks"]:
-        ops, n_ops = tags_mod.combined_ops(res.left_ops, res.left_n, res.right_ops, res.right_n)
-        PB = int(ops.shape[0])
+    for sel, res, qb, ws_sel, aq, at in results["chunks"]:
+        PB = int(res.left_ops.shape[0])
         n_real = len(sel)
         pair_row = np.full(PB, TB, np.int32)           # padding rows -> trash row
         pair_row[:n_real] = np.where(ok[sel], rows[sel], TB)
         w = np.zeros(PB, np.float32)
         w[:n_real] = np.asarray(tags_mod.calc_cns_weight(results["ident"][sel]))
-        qoff = np.zeros(PB, np.int32)
-        qoff[:n_real] = results["qoff"][sel]
-        toff = np.zeros(PB, np.int32)
-        toff[:n_real] = results["toff"][sel]
         tsz = np.zeros(PB, np.int32)
         tsz[:n_real] = tlens_np[rows[sel]]
-        weights, covten = tags_mod.scatter_tags(
-            weights, covten, ops, n_ops, qb,
-            jnp.asarray(qoff), jnp.asarray(toff), jnp.asarray(pair_row),
-            jnp.asarray(w), jnp.asarray(tsz))
+        # window-local anchors; tags use ABSOLUTE template coords
+        at_abs = at.astype(np.int64).copy()
+        at_abs[:n_real] += ws_sel
+        args = (qb, jnp.asarray(aq), jnp.asarray(at_abs.astype(np.int32)),
+                jnp.asarray(pair_row), jnp.asarray(w), jnp.asarray(tsz))
+        weights, covten = tags_mod.scatter_pass(
+            weights, covten, res.right_ops, res.right_n, *args, reversed_part=False)
+        weights, covten = tags_mod.scatter_pass(
+            weights, covten, res.left_ops, res.left_n, *args, reversed_part=True)
     return weights, covten

@@ -44,7 +44,8 @@ def combined_ops(left_ops, left_n, right_ops, right_n):
 
 
 def scatter_tags(
-    weights,        # f32[TB+1, Lt, D, 5] — row TB is the trash row
+    weights,        # f32[TB+1, D, 5, Lt] — row TB is the trash row (positions
+                    # LAST: trailing small dims would be tile-padded 25x)
     coverage,       # i32[TB+1, Lt]
     ops,            # uint8[P, LC] forward-order combined ops
     n_ops,          # i32[P]
@@ -64,7 +65,7 @@ def scatter_tags(
 def _scatter_tags(weights, coverage, ops, n_ops, qbatch, qoff, toff,
                   pair_row, pair_w, tsize):
     P, LC = ops.shape
-    TBp1, Lt, D, _ = weights.shape
+    TBp1, D, _, Lt = weights.shape
     i = jnp.arange(LC)[None, :]
     valid = i < n_ops[:, None]
     consume_q = (ops != OP_DEL) & valid & (ops != OP_PAD)
@@ -87,7 +88,7 @@ def _scatter_tags(weights, coverage, ops, n_ops, qbatch, qoff, toff,
     d_safe = jnp.where(ok, delta, 0)
     b_safe = jnp.where(ok, base, 0)
 
-    lin = ((row * Lt + t_safe) * D + d_safe) * 5 + b_safe
+    lin = ((row * D + d_safe) * 5 + b_safe) * Lt + t_safe
     w = jnp.where(ok, pair_w[:, None], 0.0)
     weights = weights.reshape(-1).at[lin.reshape(-1)].add(w.reshape(-1)).reshape(weights.shape)
 
@@ -103,3 +104,63 @@ def calc_cns_weight(ident_perc):
     e = (100.0 - ident_perc) / 100.0 / 2.0
     w = (1.0 - e) * (1.0 - e) + e * e / 3.0
     return jnp.where(100.0 - ident_perc <= 1e-6, 1.0, w)
+
+
+@functools.partial(jax.jit, static_argnames=("reversed_part",))
+def scatter_pass(weights, coverage, ops, n_ops, qbatch, aq, at, pair_row,
+                 pair_w, tsize, reversed_part: bool):
+    """Scatter ONE extension pass's tags directly (no combined-op merge).
+
+    reversed_part=False: ops run forward from the anchor (right pass).
+    reversed_part=True: ops run leftward from the anchor (left pass, i.e. the
+    REVERSE of their forward-alignment order); tag coordinates count down from
+    the anchor and insertion deltas use the distance to the NEXT
+    target-consuming op (the run order flips under reversal).
+    """
+    P, LC = ops.shape
+    TBp1, D, _, Lt = weights.shape
+    i = jnp.arange(LC, dtype=jnp.int32)[None, :]
+    valid = (i < n_ops[:, None]) & (ops != OP_PAD)
+    consume_q = (ops != OP_DEL) & valid
+    consume_t = (ops != OP_INS) & valid
+    cq = jnp.cumsum(consume_q, axis=1)
+    ct = jnp.cumsum(consume_t, axis=1)
+    is_ins = ops == OP_INS
+
+    if not reversed_part:
+        qidx = aq[:, None] + cq - 1
+        t_pos = at[:, None] + ct - 1
+        last_non_ins = jax.lax.cummax(jnp.where(~is_ins & valid, i, -1), axis=1)
+        delta = jnp.where(is_ins, i - last_non_ins, 0)
+    else:
+        qidx = aq[:, None] - cq
+        # DIAG/DEL at left-index i sit at t = at - ct_i; INS belong after the
+        # NEXT target-consuming op: t = at - ct_i - 1
+        t_pos = jnp.where(is_ins, at[:, None] - ct - 1, at[:, None] - ct)
+        rev = lambda x: x[:, ::-1]
+        big = jnp.int32(LC)
+        i_b = jnp.broadcast_to(i, ops.shape)
+        nni_rev = jax.lax.cummin(jnp.where(rev(~is_ins & valid), rev(i_b), big), axis=1)
+        nni = rev(nni_rev)          # next non-INS index >= i (LC if none)
+        delta = jnp.where(is_ins, jnp.where(nni < LC, nni - i, D), 0)
+
+    qb = jnp.take_along_axis(qbatch, jnp.clip(qidx, 0, qbatch.shape[1] - 1),
+                             axis=1).astype(jnp.int32)
+    base = jnp.where(ops == OP_DEL, GAP_CODE, qb)
+
+    ok = valid & (t_pos >= 0) & (t_pos < tsize[:, None]) & (delta < D)
+    ok &= pair_row[:, None] < TBp1 - 1
+    row = jnp.where(ok, pair_row[:, None], TBp1 - 1)
+    t_safe = jnp.where(ok, t_pos, 0)
+    d_safe = jnp.where(ok, delta, 0)
+    b_safe = jnp.where(ok, base, 0)
+
+    lin = ((row * D + d_safe) * 5 + b_safe) * Lt + t_safe
+    w = jnp.where(ok, pair_w[:, None], 0.0)
+    weights = weights.reshape(-1).at[lin.reshape(-1)].add(w.reshape(-1)).reshape(weights.shape)
+
+    cov_ok = ok & (delta == 0)
+    lin_c = row * Lt + t_safe
+    c = jnp.where(cov_ok, 1, 0)
+    coverage = coverage.reshape(-1).at[lin_c.reshape(-1)].add(c.reshape(-1)).reshape(coverage.shape)
+    return weights, coverage

@@ -148,6 +148,44 @@ def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int, max_seeds:
                 seed_mask=seed_mask, n_pairs=n_pairs)
 
 
+def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offsets,
+                       batch, lens, soff_limit, *, k: int, shift: int,
+                       occ_cutoff: int, scan_window: int, opts: MapOptions):
+    """Pure fused candidate-detection step (hashing -> lookup -> hit expansion ->
+    pair grouping -> chain DP). Used directly under jit and under shard_map
+    (parallel/mesh.py). Returns dict of fixed-shape arrays including a packed
+    int32 `stats` [8, P] for a single host transfer."""
+    from necat_tpu.index.kmer_index import _lookup_ranges, query_kmer_hashes
+
+    qh, qoffs, kvalid = query_kmer_hashes(batch, lens, k, scan_window)
+    start, count = _lookup_ranges(sorted_hashes, bucket_starts, qh, shift, occ_cutoff)
+    count = jnp.where(kvalid, count, 0)
+    qrow, kcol, pos, valid, total = _expand_hits(start, count, sorted_positions,
+                                                 soff_limit, opts.max_hits)
+    g = _group_pairs(qrow, qoffs[kcol], pos, valid, sub_offsets,
+                     opts.max_pairs, opts.max_seeds_per_pair)
+    ch = chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"], opts.kmer_size,
+                     opts.chain_max_dist, opts.chain_bw)
+    stats = jnp.stack([
+        g["pair_qrow"], g["pair_sid"], g["pair_valid"].astype(jnp.int32),
+        ch["n_seeds"], ch["score"], ch["qbeg"], ch["qend"], ch["sbeg"],
+        ch["send"]], axis=0)
+    return {
+        "pair_qrow": g["pair_qrow"], "pair_sid": g["pair_sid"],
+        "pair_valid": g["pair_valid"], "n_seeds": ch["n_seeds"],
+        "score": ch["score"], "qbeg": ch["qbeg"], "qend": ch["qend"],
+        "sbeg": ch["sbeg"], "send": ch["send"],
+        "n_hits": jnp.reshape(total, (1,)), "stats": stats,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_candidates_jit(k, shift, occ_cutoff, scan_window, opts):
+    f = functools.partial(candidates_forward, k=k, shift=shift,
+                          occ_cutoff=occ_cutoff, scan_window=scan_window, opts=opts)
+    return jax.jit(f)
+
+
 def find_candidates_batch(
     index: KmerIndex,
     sub_offsets: jax.Array,          # int32[NS+1] subject read offsets in the volume
@@ -160,14 +198,9 @@ def find_candidates_batch(
     opts: MapOptions,
     pairwise: bool,
 ) -> Candidates:
-    """Run the full candidate pipeline for one padded query batch on one strand."""
+    """Run the full candidate pipeline for one padded query batch on one strand
+    (one fused device dispatch + one stats transfer)."""
     B, L = batch.shape
-    batch_d = jnp.asarray(batch)
-    lens_d = jnp.asarray(lens)
-    qh, qoffs, kvalid = query_kmer_hashes(batch_d, lens_d, index.k, opts.scan_window)
-    start, count = index.lookup_ranges(qh)
-    count = jnp.where(kvalid, count, 0)
-
     if pairwise:
         # suppress hits at subject positions >= start of the query read itself
         local = qids - sub_vol_read_start
@@ -179,28 +212,24 @@ def find_candidates_batch(
     else:
         soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
 
-    qrow, kcol, pos, valid, total = _expand_hits(start, count, index.sorted_positions,
-                                                 soff_limit, opts.max_hits)
-    qoff_h = qoffs[kcol]
-    g = _group_pairs(qrow, qoff_h, pos, valid, sub_offsets,
-                     opts.max_pairs, opts.max_seeds_per_pair)
-    ch = chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"], opts.kmer_size,
-                     opts.chain_max_dist, opts.chain_bw)
+    fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
+                               index.occ_cutoff, opts.scan_window, opts)
+    g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
+           sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
 
-    # host-side filtering & packing
-    pv = np.asarray(g["pair_valid"])
-    cnt = np.asarray(g["pair_cnt"])
-    score = np.asarray(ch["score"])
-    n_seeds = np.asarray(ch["n_seeds"])
-    qbeg = np.asarray(ch["qbeg"]); qend = np.asarray(ch["qend"])
-    sbeg = np.asarray(ch["sbeg"]); send = np.asarray(ch["send"])
+    # host-side filtering & packing (single transfer)
+    st = np.asarray(g["stats"])
+    pv = st[2].astype(bool)
+    n_seeds = st[3]
+    score = st[4]
+    qbeg, qend, sbeg, send = st[5], st[6], st[7], st[8]
     keep = (pv & (n_seeds >= opts.block_score_cutoff)
             & (score >= opts.chain_min_score)
             & (((qend - qbeg) >= opts.align_size_cutoff)
                | ((send - sbeg) >= opts.align_size_cutoff)))
     idx = np.flatnonzero(keep)
-    pq = np.asarray(g["pair_qrow"])[idx]
-    psid = np.asarray(g["pair_sid"])[idx]
+    pq = st[0][idx]
+    psid = st[1][idx]
     out = Candidates(
         qid=qids[pq].astype(np.int32),
         sid=(psid + sub_vol_read_start).astype(np.int32),

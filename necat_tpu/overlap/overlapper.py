@@ -126,8 +126,9 @@ def extend_candidates(
         res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
                            jnp.asarray(tb), jnp.asarray(tlens),
                            jnp.asarray(aq), jnp.asarray(at), W=band_width)
+        st = np.asarray(res.stats)          # single host transfer: [6, PB]
         ident = np.asarray(res.ident)[:n_real]
-        n_cols = np.asarray(res.n_cols)[:n_real]
+        n_cols = st[4, :n_real]
         keep = (n_cols >= min_align_size) & (ident >= min_ident)
         ki = np.flatnonzero(keep)
         c_sel = sel[ki]
@@ -136,12 +137,12 @@ def extend_candidates(
             ident=ident[ki].astype(np.float32),
             vscore=cands.score[c_sel],
             qdir=cands.qdir[c_sel],
-            qoff=np.asarray(res.qoff)[ki].astype(np.int32),
-            qend=np.asarray(res.qend)[ki].astype(np.int32),
+            qoff=st[0, ki].astype(np.int32),
+            qend=st[1, ki].astype(np.int32),
             qsize=cands.qsize[c_sel],
             sdir=np.zeros(len(ki), np.int8),
-            soff=(np.asarray(res.toff)[ki] + ws[c_sel]).astype(np.int32),
-            send=(np.asarray(res.tend)[ki] + ws[c_sel]).astype(np.int32),
+            soff=(st[2, ki] + ws[c_sel]).astype(np.int32),
+            send=(st[3, ki] + ws[c_sel]).astype(np.int32),
             ssize=cands.ssize[c_sel],
         ))
         if progress and (cs // pairs_per_chunk) % 20 == 0:

@@ -40,30 +40,9 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
 
 # ------------------------------------------------------------------ pure steps
 
-def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offsets,
-                       batch, lens, soff_limit, *, k: int, shift: int, occ_cutoff: int,
-                       scan_window: int, opts: MapOptions):
-    """Pure candidate-detection step for one subject shard.
-
-    Returns dict of fixed-shape arrays (pair_qrow, pair_sid, score, qbeg/qend/
-    sbeg/send, n_seeds, pair_valid)."""
-    qh, qoffs, kvalid = kmer_index.query_kmer_hashes(batch, lens, k, scan_window)
-    start, count = kmer_index._lookup_ranges(sorted_hashes, bucket_starts, qh,
-                                             shift, occ_cutoff)
-    count = jnp.where(kvalid, count, 0)
-    qrow, kcol, pos, valid, total = cand_mod._expand_hits(
-        start, count, sorted_positions, soff_limit, opts.max_hits)
-    g = cand_mod._group_pairs(qrow, qoffs[kcol], pos, valid, sub_offsets,
-                              opts.max_pairs, opts.max_seeds_per_pair)
-    ch = chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"], opts.kmer_size,
-                     opts.chain_max_dist, opts.chain_bw)
-    return {
-        "pair_qrow": g["pair_qrow"], "pair_sid": g["pair_sid"],
-        "pair_valid": g["pair_valid"], "n_seeds": ch["n_seeds"],
-        "score": ch["score"], "qbeg": ch["qbeg"], "qend": ch["qend"],
-        "sbeg": ch["sbeg"], "send": ch["send"],
-        "n_hits": jnp.reshape(total, (1,)),
-    }
+# the fused candidate step lives in overlap.candidates (single source of truth
+# for both the single-chip jit path and the shard_map path here)
+candidates_forward = cand_mod.candidates_forward
 
 
 def extension_forward(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t, *, W: int):

@@ -9,7 +9,7 @@ tier, so the extension kernel has exactly one shape per tier.
 from __future__ import annotations
 
 # sequence-length tiers (reads 3 kb - 40 kb + polish windows)
-LENGTH_TIERS = (2048, 8192, 32768, 131072)
+LENGTH_TIERS = (2048, 8192, 32768, 65536, 262144)
 
 # dirs-buffer budget for the banded aligner: PB * L * W bytes
 EXTENSION_BYTES = 256 << 20

@@ -31,7 +31,7 @@ def test_scatter_tags_hand_case():
     # template row 0, template = ACGT, query aligns tpos 0..3:
     # ops: DIAG(A) DIAG(C) INS(G) DIAG(G) DEL
     TB, Lt, D = 1, 8, 4
-    weights = jnp.zeros((TB + 1, Lt, D, 5), jnp.float32)
+    weights = jnp.zeros((TB + 1, D, 5, Lt), jnp.float32)
     cov = jnp.zeros((TB + 1, Lt), jnp.int32)
     ops = np.full((1, 10), OP_PAD, np.uint8)
     ops[0, :5] = [OP_DIAG, OP_DIAG, OP_INS, OP_DIAG, OP_DEL]
@@ -42,31 +42,31 @@ def test_scatter_tags_hand_case():
         jnp.asarray(qb), jnp.asarray(np.array([0], np.int32)),
         jnp.asarray(np.array([0], np.int32)), jnp.asarray(np.array([0], np.int32)),
         jnp.asarray(np.array([1.0], np.float32)), jnp.asarray(np.array([4], np.int32)))
-    w, c = np.asarray(w), np.asarray(c)
+    w, c = np.asarray(w), np.asarray(c)   # w[row, delta, base, t]
     assert w[0, 0, 0, 0] == 1.0          # t0 A
-    assert w[0, 1, 0, 1] == 1.0          # t1 C
-    assert w[0, 1, 1, 2] == 1.0          # insertion G after t1 (delta 1)
-    assert w[0, 2, 0, 2] == 1.0          # t2 G
-    assert w[0, 3, 0, 4] == 1.0          # t3 gap (deletion)
+    assert w[0, 0, 1, 1] == 1.0          # t1 C
+    assert w[0, 1, 2, 1] == 1.0          # insertion G after t1 (delta 1)
+    assert w[0, 0, 2, 2] == 1.0          # t2 G
+    assert w[0, 0, 4, 3] == 1.0          # t3 gap (deletion)
     np.testing.assert_array_equal(c[0, :4], [1, 1, 1, 1])
     assert c[0, 4:].sum() == 0
 
 
 def test_call_consensus_majority():
     TB, L, D = 1, 6, 3
-    w = np.zeros((TB, L, D, 5), np.float32)
+    w = np.zeros((TB, D, 5, L), np.float32)   # [row, delta, base, t]
     cov = np.zeros((TB, L), np.int32)
     cov[0, :5] = 6
     # t0: clear A
     w[0, 0, 0, 0] = 5.0
     # t1: gap wins (deletion)
-    w[0, 1, 0, 4] = 4.0; w[0, 1, 0, 1] = 2.0
-    # t2: C, plus strong insertion T (delta1) weight 4 >= 0.35*6
-    w[0, 2, 0, 1] = 5.0; w[0, 2, 1, 3] = 4.0
-    # t3: G, weak insertion (1.0 < 0.35*6) ignored
-    w[0, 3, 0, 2] = 5.0; w[0, 3, 1, 0] = 1.0
+    w[0, 0, 4, 1] = 4.0; w[0, 0, 1, 1] = 2.0
+    # t2: C, plus strong insertion T (delta1) weight 4 >= 0.35*6 + 1
+    w[0, 0, 1, 2] = 5.0; w[0, 1, 3, 2] = 4.0
+    # t3: G, weak insertion (1.0 < threshold) ignored
+    w[0, 0, 2, 3] = 5.0; w[0, 1, 0, 3] = 1.0
     # t4: T
-    w[0, 4, 0, 3] = 6.0
+    w[0, 0, 3, 4] = 6.0
     # t5: uncovered
     emit, base = call_consensus(jnp.asarray(w), jnp.asarray(cov), 4, 0.35)
     emit, base = np.asarray(emit), np.asarray(base)
