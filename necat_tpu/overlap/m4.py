@@ -89,6 +89,40 @@ class M4Records:
                         f"{self.ssize[i]}\n")
 
     @classmethod
+    def load_paf(cls, path: str | os.PathLike, name2id=None) -> "M4Records":
+        """Load minimap2 PAF overlaps (OverlapStore FromPafLine parity,
+        src/fsa/overlap_store.hpp:131-134). Query coords are converted to the
+        qdir-strand convention; identity is nmatch/alen."""
+        opener = gzip.open if str(path).endswith(".gz") else open
+        rows = []
+        with opener(path, "rt") as f:
+            for line in f:
+                t = line.rstrip("\n").split("\t")
+                if len(t) < 12:
+                    continue
+                qn, qlen, qs, qe, strand, sn, slen, ss, se, nm, alen = (
+                    t[0], int(t[1]), int(t[2]), int(t[3]), t[4], t[5],
+                    int(t[6]), int(t[7]), int(t[8]), int(t[9]), int(t[10]))
+                qid = name2id[qn] if name2id else int(qn)
+                sid = name2id[sn] if name2id else int(sn)
+                qdir = 1 if strand == "-" else 0
+                if qdir == 1:
+                    qs, qe = qlen - qe, qlen - qs
+                ident = 100.0 * nm / max(alen, 1)
+                rows.append((qid, sid, ident, nm, qdir, qs, qe, qlen,
+                             0, ss, se, slen))
+        if not rows:
+            return cls.empty()
+        arr = np.array(rows, dtype=np.float64)
+        return cls(
+            qid=arr[:, 0].astype(np.int32), sid=arr[:, 1].astype(np.int32),
+            ident=arr[:, 2].astype(np.float32), vscore=arr[:, 3].astype(np.int32),
+            qdir=arr[:, 4].astype(np.int8), qoff=arr[:, 5].astype(np.int32),
+            qend=arr[:, 6].astype(np.int32), qsize=arr[:, 7].astype(np.int32),
+            sdir=arr[:, 8].astype(np.int8), soff=arr[:, 9].astype(np.int32),
+            send=arr[:, 10].astype(np.int32), ssize=arr[:, 11].astype(np.int32))
+
+    @classmethod
     def load(cls, path: str | os.PathLike) -> "M4Records":
         opener = gzip.open if str(path).endswith(".gz") else open
         with opener(path, "rt") as f:

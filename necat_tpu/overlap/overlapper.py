@@ -36,11 +36,15 @@ def find_all_candidates(
     query_batch_size: int = 256,
     index: Optional[KmerIndex] = None,
     progress: Optional[Callable[[str], None]] = None,
+    subject_read_start: int = 0,
+    query_ids: Optional[np.ndarray] = None,
 ) -> Candidates:
-    """Candidates of all qstore reads against sstore (one volume).
+    """Candidates of qstore reads against sstore (one subject volume).
 
-    pairwise=True means qstore is sstore and self/duplicate hits are suppressed
-    (each overlap reported once with sid < qid).
+    pairwise=True means qstore is sstore (same id space) and self/duplicate
+    hits are suppressed (each overlap reported once with sid < qid).
+    subject_read_start: global read id of the volume's first read (oc2pmov's
+    volume offset). query_ids restricts/labels the queries (global ids).
     """
     if index is None:
         index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
@@ -48,8 +52,9 @@ def find_all_candidates(
     sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     parts = []
-    order = np.argsort(qstore.lengths, kind="stable")  # batch similar lengths together
-    for bs in range(0, qstore.n_reads, query_batch_size):
+    all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
+    order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]
+    for bs in range(0, len(order), query_batch_size):
         qidx = order[bs:bs + query_batch_size]
         n_real = len(qidx)
         if n_real < query_batch_size:  # pad to a fixed batch shape
@@ -60,10 +65,10 @@ def find_all_candidates(
             lens = lens.copy()
             lens[n_real:] = 0  # padding rows produce no k-mers, hence no hits
             parts.append(find_candidates_batch(
-                index, sub_off, 0, batch, lens, qidx.astype(np.int32), qdir,
-                sub_sizes, opts, pairwise=pairwise))
+                index, sub_off, subject_read_start, batch, lens,
+                qidx.astype(np.int32), qdir, sub_sizes, opts, pairwise=pairwise))
         if progress:
-            progress(f"candidates: {min(bs + query_batch_size, qstore.n_reads)}/{qstore.n_reads} queries")
+            progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")
     cands = Candidates.concat(parts)
     return top_n_per_query(cands, opts.ncan)
 
@@ -158,14 +163,44 @@ def overlap_all_vs_all(
     band_width: int = 128,
     query_batch_size: int = 256,
     progress: Optional[Callable[[str], None]] = None,
+    vol_size: int = 0,
 ) -> M4Records:
-    """All-vs-all overlap detection of one read set (single volume).
+    """All-vs-all overlap detection of one read set.
 
     Each overlap is reported once (sid < qid); use .swap_roles() + concat for
     per-read coverage views (the pm4 duplication).
+
+    vol_size > 0 splits the subject side into <= vol_size-base volumes and
+    tiles volume i against query volumes >= i — the oc2pmov pattern
+    (src/pm_one_volume/pm_worker.c:283-335) that bounds k-mer index memory on
+    large read sets.
     """
-    cands = find_all_candidates(store, store, opts, pairwise=True,
-                                query_batch_size=query_batch_size, progress=progress)
+    if vol_size <= 0:
+        cands = find_all_candidates(store, store, opts, pairwise=True,
+                                    query_batch_size=query_batch_size,
+                                    progress=progress)
+        return extend_candidates(cands, store, store, min_align_size=min_align_size,
+                                 min_ident=min_ident, band_width=band_width,
+                                 progress=progress)
+    vols = store.volumes(vol_size)
+    parts = []
+    for vi, (slo, shi) in enumerate(vols):
+        svol = ReadStore(
+            bases=store.bases[store.offsets[slo]:store.offsets[shi]],
+            offsets=(store.offsets[slo:shi + 1] - store.offsets[slo]),
+            names=store.names[slo:shi])
+        index = KmerIndex.build(svol.bases, svol.offsets, k=opts.kmer_size,
+                                occ_cutoff=opts.occ_cutoff)
+        # queries: all reads from volume vi onward (pairwise handles vol vi itself)
+        qids = np.arange(slo, store.n_reads)
+        cands = find_all_candidates(store, svol, opts, pairwise=True,
+                                    query_batch_size=query_batch_size,
+                                    index=index, progress=progress,
+                                    subject_read_start=slo, query_ids=qids)
+        parts.append(cands)
+        if progress:
+            progress(f"volume {vi + 1}/{len(vols)} done")
+    cands = top_n_per_query(Candidates.concat(parts), opts.ncan)
     return extend_candidates(cands, store, store, min_align_size=min_align_size,
                              min_ident=min_ident, band_width=band_width,
                              progress=progress)

@@ -149,3 +149,25 @@ def test_top_n_per_query():
     out = top_n_per_query(c, 2)
     assert len(out) == 3
     assert set(out.sid[out.qid == 1].tolist()) == {11, 12}
+
+
+def test_volume_tiled_overlaps_match_single_volume():
+    from necat_tpu.overlap.overlapper import overlap_all_vs_all
+    from necat_tpu.io.readstore import ReadStore
+
+    G = 40000
+    genome = simulate.random_genome(G, seed=13)
+    em = simulate.ErrorModel(sub=0.01, ins=0.01, dele=0.01)
+    reads, *_ = simulate.simulate_reads(genome, coverage=6, mean_len=6000,
+                                        min_len=3000, max_len=9000, em=em,
+                                        seed=5, circular=False)
+    rs = ReadStore.from_seqs(reads)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=2048)
+    m4_single = overlap_all_vs_all(rs, opts, band_width=64)
+    m4_tiled = overlap_all_vs_all(rs, opts, band_width=64,
+                                  vol_size=int(rs.total_bases // 3 + 1))
+    pairs_s = set(zip(m4_single.qid.tolist(), m4_single.sid.tolist()))
+    pairs_t = set(zip(m4_tiled.qid.tolist(), m4_tiled.sid.tolist()))
+    # tiled must find (nearly) the same overlap pairs
+    assert len(pairs_t & pairs_s) >= 0.95 * len(pairs_s)
+    assert np.all(m4_tiled.sid < m4_tiled.qid)

@@ -1,0 +1,59 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from necat_tpu.io import simulate, seqio
+from necat_tpu.io.readstore import ReadStore
+from necat_tpu.pipeline import cli, config as config_mod
+from necat_tpu.pipeline.stages import Project
+
+
+def test_config_template_roundtrip(tmp_path):
+    p = tmp_path / "t.cfg"
+    config_mod.write_template(p)
+    cfg = config_mod.load_config(p)
+    assert cfg.num_iter == 2
+    assert cfg.min_read_length == 3000
+    assert cfg.polish
+
+
+def test_parse_genome_size():
+    assert config_mod.parse_genome_size("4600000") == 4600000
+    assert config_mod.parse_genome_size("4.6m") == 4600000
+    assert config_mod.parse_genome_size("120k") == 120000
+
+
+def test_pipeline_assemble_end_to_end(tmp_path):
+    G = 20000
+    genome = simulate.random_genome(G, seed=77)
+    em = simulate.ErrorModel(sub=0.025, ins=0.025, dele=0.025)
+    reads, *_ = simulate.simulate_reads(genome, coverage=9, mean_len=5000,
+                                        min_len=3000, max_len=8000, em=em,
+                                        seed=3, circular=False)
+    reads_path = tmp_path / "reads.fasta"
+    ReadStore.from_seqs(reads).to_fasta(reads_path)
+    rl = tmp_path / "read_list.txt"
+    rl.write_text(f"{reads_path}\n")
+    cfg_path = tmp_path / "run.cfg"
+    cfg_path.write_text(
+        f"PROJECT={tmp_path}/prj\nONT_READ_LIST={rl}\nGENOME_SIZE=20000\n"
+        "MIN_READ_LENGTH=3000\nPREP_OUTPUT_COVERAGE=40\nCNS_OUTPUT_COVERAGE=30\n"
+        "NUM_ITER=1\nPOLISH_CONTIGS=false\n")
+
+    rc = cli.main(["assemble", str(cfg_path)])
+    assert rc == 0
+    ctg_path = f"{tmp_path}/prj/4-fsa/contigs.fasta"
+    assert os.path.exists(ctg_path)
+    contigs = ReadStore.from_fasta(ctg_path)
+    assert contigs.n_reads >= 1
+    assert contigs.lengths.max() >= G * 0.5
+
+    # resume: stage manifests mark everything up to date; a rerun must skip
+    done = json.load(open(f"{tmp_path}/prj/4-fsa/assemble.done.json"))
+    assert done["rc"] == 0
+    mtime = os.path.getmtime(ctg_path)
+    rc = cli.main(["assemble", str(cfg_path)])
+    assert rc == 0
+    assert os.path.getmtime(ctg_path) == mtime, "stage was not skipped on rerun"

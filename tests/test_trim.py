@@ -114,3 +114,35 @@ def test_trim_end_to_end_with_chimera():
         l, r = ranges[i]
         frac.append((r - l) / rs.lengths[rid])
     assert np.median(frac) > 0.8
+
+
+def test_paf_roundtrip(tmp_path):
+    from necat_tpu.pipeline import tools
+    m4 = mk_m4([dict(qid=3, sid=1, qdir=1, qoff=100, qend=400, qsize=500,
+                     soff=50, send=350, ssize=1000, ident=95.0, vscore=280),
+                dict(qid=4, sid=2, qdir=0, qoff=0, qend=300, qsize=300,
+                     soff=5, send=299, ssize=600, ident=99.0, vscore=290)])
+    p_m4 = tmp_path / "x.m4"
+    p_paf = tmp_path / "x.paf"
+    m4.save(p_m4)
+    tools.main(["m4topaf", str(p_m4), str(p_paf)])
+    m42 = M4Records.load_paf(p_paf)
+    assert len(m42) == 2
+    np.testing.assert_array_equal(m42.qid, m4.qid)
+    np.testing.assert_array_equal(m42.qdir, m4.qdir)
+    np.testing.assert_array_equal(m42.qoff, m4.qoff)   # strand-local coords restored
+    np.testing.assert_array_equal(m42.soff, m4.soff)
+
+
+def test_tools_cli(tmp_path, capsys):
+    from necat_tpu.pipeline import tools
+    from necat_tpu.io import simulate
+    g = simulate.random_genome(10000, seed=1)
+    reads, *_ = simulate.simulate_reads(g, coverage=3, mean_len=4000, seed=2)
+    p = tmp_path / "r.fasta"
+    ReadStore.from_seqs(reads).to_fasta(p)
+    assert tools.main(["n50", str(p)]) == 0
+    assert tools.main(["stats", str(p)]) == 0
+    out = tmp_path / "l.fasta"
+    assert tools.main(["longest", str(p), str(out), "10000", "2"]) == 0
+    assert ReadStore.from_fasta(out).total_bases >= 20000 * 0.9
