@@ -1,9 +1,12 @@
-"""Contig construction from string-graph paths.
+"""Contig construction from path-graph paths.
 
-Rebuild of fsa Assembly::SaveContigs (src/fsa/assembly.cpp:168-288): each simple
-path becomes a contig; the sequence is the first read's oriented sequence plus
-each arc's appended segment. Also emits contig *tiles* (read placements:
-contig_tiles in the reference), consumed by the polish stage's filter_m4.
+Rebuild of fsa Assembly (src/fsa/assembly.cpp): CreateStringGraph (:92-117) →
+CreatePathGraph (:119-155) → SaveContigs (:168-347). Each identified path
+becomes a contig; compound (bubble) edges contribute their best-scoring simple
+chain to the primary sequence, and sufficiently dissimilar alternate branches
+are emitted as bubble sequences (identity <= 96 or coverage < 97 on >=2 kb
+branches, assembly.cpp:289-297, assembly.hpp:22-23). Also emits contig *tiles*
+(read placements: contig_tiles), consumed by the polish stage's filter_m4.
 """
 
 from __future__ import annotations
@@ -14,9 +17,15 @@ from typing import List, Tuple
 import numpy as np
 
 from necat_tpu.assembly.overlap_filter import FilterOptions, filter_overlaps
-from necat_tpu.assembly.string_graph import Arc, StringGraph, rev_vertex
+from necat_tpu.assembly.path_graph import (PathGraph, best_chain_through,
+                                           sequence_similarity)
+from necat_tpu.assembly.string_graph import Arc, StringGraph
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.m4 import M4Records
+
+MIN_BUBBLE_BRANCH = 2000       # assembly.cpp:289: only branches >= 2 kb compared
+MAX_BUBBLE_IDENTITY = 96.0     # assembly.hpp:22
+MAX_BUBBLE_COVERAGE = 97.0     # assembly.hpp:23
 
 
 @dataclasses.dataclass
@@ -31,6 +40,8 @@ class Tile:
 class AssemblyResult:
     contigs: ReadStore
     tiles: List[List[Tile]]          # per contig
+    bubbles: ReadStore               # alternate bubble branches (bubbles.fasta)
+    bubble_tiles: List[List[Tile]]
     n_paths: int
     min_identity: float
     max_overhang: int
@@ -67,36 +78,86 @@ def path_to_contig(path: List[Arc], store: ReadStore) -> Tuple[np.ndarray, List[
     return np.concatenate(seq_parts), tiles
 
 
+def _branch_seq(arcs: List[Arc], store: ReadStore) -> np.ndarray:
+    """Sequence contributed by a bubble branch (appended segments only,
+    Assembly::ConstructContigStraight role)."""
+    parts = [store.get(a.v // 2, rc=bool(a.v % 2))[a.seg_start:a.seg_end]
+             for a in arcs]
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+
 def assemble(
     store: ReadStore,
     m4: M4Records,
     filter_opts: FilterOptions = FilterOptions(),
     min_contig_length: int = 500,
+    max_spur_length: int = 50000,
+    select_branch: str = "no",
 ) -> AssemblyResult:
-    """Overlap filter -> string graph -> contigs (fsa_ol_filter + fsa_assemble)."""
+    """Overlap filter -> string graph -> path graph -> contigs
+    (fsa_ol_filter + fsa_assemble)."""
     fres = filter_overlaps(m4, store.n_reads, filter_opts)
     g = StringGraph.from_overlaps(fres.m4, store.lengths, max_overhang=fres.max_overhang)
-    paths = g.assemble()
+    g.mark_transitive_edges()
+    g.mark_spur_edges()
+    g.mark_best_overlap()
+    g.mark_spur_edges()
+    pg = PathGraph.from_string_graph(g)
+    paths = pg.run_passes(max_spur_length=max_spur_length,
+                          select_branch=select_branch)
 
-    seqs, names, all_tiles = [], [], []
-    # longest-first, skip tiny contigs
-    built = []
+    built = []           # (seq, tiles, bubble list)
     for path in paths:
-        seq, tiles = path_to_contig(path, store)
-        built.append((seq, tiles))
-    # singleton contigs: reads with no active arcs but not contained/filtered
-    used = set()
-    for path in paths:
-        for a in path:
-            used.add(a.u // 2)
-            used.add(a.v // 2)
+        arcs: List[Arc] = []
+        bubbles: List[List[Arc]] = []
+        for pe in path:
+            if pe.kind == "simple":
+                arcs.extend(pe.arcs)
+            else:
+                primary, alts = best_chain_through(pe.subedges, pe.u, pe.v)
+                for se in primary:
+                    arcs.extend(se.arcs)
+                pseq = None
+                for alt in alts:
+                    alt_arcs = [a for se in alt for a in se.arcs]
+                    aseq = _branch_seq(alt_arcs, store)
+                    if len(aseq) < MIN_BUBBLE_BRANCH:
+                        continue
+                    if pseq is None:
+                        parcs = [a for se in primary for a in se.arcs]
+                        pseq = _branch_seq(parcs, store)
+                    if len(pseq) < MIN_BUBBLE_BRANCH:
+                        continue
+                    cov, ident = sequence_similarity(aseq, pseq)
+                    if ident * 100 <= MAX_BUBBLE_IDENTITY or cov * 100 < MAX_BUBBLE_COVERAGE:
+                        bubbles.append(alt_arcs)
+        if not arcs:
+            continue
+        seq, tiles = path_to_contig(arcs, store)
+        built.append((seq, tiles, bubbles))
+
     built.sort(key=lambda t: -len(t[0]))
-    for seq, tiles in built:
+    seqs, names, all_tiles = [], [], []
+    bseqs, bnames, btiles = [], [], []
+    for seq, tiles, bubbles in built:
         if len(seq) < min_contig_length:
             continue
-        names.append(f"ctg{len(seqs)}")
+        ci = len(seqs)
+        names.append(f"ctg{ci}")
         seqs.append(seq)
         all_tiles.append(tiles)
+        for bi, barcs in enumerate(bubbles):
+            bseq = _branch_seq(barcs, store)
+            bt = []
+            pos = 0
+            for a in barcs:
+                bt.append(Tile(a.v // 2, a.v % 2, pos, pos + (a.seg_end - a.seg_start)))
+                pos += a.seg_end - a.seg_start
+            bnames.append(f"ctg{ci}-bubble{bi}")
+            bseqs.append(bseq)
+            btiles.append(bt)
     contigs = ReadStore.from_seqs(seqs, names)
-    return AssemblyResult(contigs=contigs, tiles=all_tiles, n_paths=len(paths),
+    bub = ReadStore.from_seqs(bseqs, bnames)
+    return AssemblyResult(contigs=contigs, tiles=all_tiles, bubbles=bub,
+                          bubble_tiles=btiles, n_paths=len(paths),
                           min_identity=fres.min_identity, max_overhang=fres.max_overhang)

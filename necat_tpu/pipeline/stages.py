@@ -164,10 +164,16 @@ class Project:
             m4.save(os.path.join(wd, "pm.m4.gz"))
             res = assemble(trimmed, m4, FilterOptions())
             res.contigs.to_fasta(out)
+            res.bubbles.to_fasta(os.path.join(wd, "bubbles.fasta"))
             with open(os.path.join(wd, "contig_tiles"), "w") as f:
                 for ci, tiles in enumerate(res.tiles):
                     for t in tiles:
                         f.write(f"ctg{ci}\t{t.read}\t{t.orient}\t{t.ctg_start}\t{t.ctg_end}\n")
+            with open(os.path.join(wd, "bubble_tiles"), "w") as f:
+                for bi, tiles in enumerate(res.bubble_tiles):
+                    for t in tiles:
+                        f.write(f"{res.bubbles.names[bi]}\t{t.read}\t{t.orient}\t"
+                                f"{t.ctg_start}\t{t.ctg_end}\n")
             n50, _ = res.contigs.n50()
             logger.info("contigs: %d, total %d, N50 %d",
                         res.contigs.n_reads, res.contigs.total_bases, n50)
