@@ -273,57 +273,92 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
     ws = np.maximum(cands.sbeg[cidx] - left_need, 0)
     we = np.minimum(cands.sbeg[cidx] + right_need, tlens_np[rows].astype(np.int64))
     wlen = we - ws
-    # one tier per pair (query and window share it -> a single extension shape per tier)
-    tier = np.array([_bucket_len(int(max(q, w))) for q, w in zip(qsizes, wlen)])
-    order = np.lexsort((qsizes, tier))
     out = {k: np.zeros(len(cidx), np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
     out["ident"] = np.zeros(len(cidx), np.float64)
     out["chunks"] = []
-    cs = 0
-    while cs < len(order):
-        L = int(tier[order[cs]])
-        PB = min(shapes.pairs_per_chunk(L, opts.band_width), opts.pairs_per_chunk)
-        sel = order[cs:cs + PB]
-        sel = sel[tier[sel] == L]       # keep the chunk single-tier
-        cs += len(sel)
-        n_real = len(sel)
-        LQ = LT = L
-        qb = np.zeros((PB, LQ), np.uint8)
-        tb = np.zeros((PB, LT), np.uint8)
-        qlens = np.zeros(PB, np.int32)
-        tlens = np.zeros(PB, np.int32)
-        aq = np.zeros(PB, np.int32)
-        at = np.zeros(PB, np.int32)
-        for k, p in enumerate(sel):
-            c = cidx[p]
-            s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
-            qb[k, :len(s)] = s
-            tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
-            qlens[k] = cands.qsize[c]
-            tlens[k] = wlen[p]
-            aq[k] = cands.qbeg[c]
-            at[k] = cands.sbeg[c] - ws[p]
-        res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
-                           jnp.asarray(tb), jnp.asarray(tlens),
-                           jnp.asarray(aq), jnp.asarray(at), W=opts.band_width)
-        st = np.asarray(res.stats)          # single host transfer: [6, PB]
-        r = slice(0, n_real)
-        out["qoff"][sel] = st[0, r]
-        out["qend"][sel] = st[1, r]
-        out["toff"][sel] = st[2, r] + ws[sel]
-        out["tend"][sel] = st[3, r] + ws[sel]
-        out["n_cols"][sel] = st[4, r]
-        out["ident"][sel] = np.asarray(res.ident)[r]
-        out["chunks"].append((sel, res, jnp.asarray(qb), ws[sel], aq.copy(), at.copy()))
+    lane_of = {}
+
+    def run_pass(pair_idx: np.ndarray, W: int, live_default: bool):
+        tier = np.array([_bucket_len(int(max(qsizes[p], wlen[p]))) for p in pair_idx])
+        order = pair_idx[np.lexsort((qsizes[pair_idx], tier))]
+        tier_of = dict(zip(pair_idx.tolist(), tier.tolist()))
+        cs = 0
+        while cs < len(order):
+            L = tier_of[int(order[cs])]
+            PB = min(shapes.pairs_per_chunk(L, W), opts.pairs_per_chunk)
+            sel = order[cs:cs + PB]
+            sel = sel[[tier_of[int(p)] == L for p in sel]]  # keep single-tier
+            cs += len(sel)
+            n_real = len(sel)
+            qb = np.zeros((PB, L), np.uint8)
+            tb = np.zeros((PB, L), np.uint8)
+            qlens = np.zeros(PB, np.int32)
+            tlens = np.zeros(PB, np.int32)
+            aq = np.zeros(PB, np.int32)
+            at = np.zeros(PB, np.int32)
+            for k, p in enumerate(sel):
+                c = cidx[p]
+                s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
+                qb[k, :len(s)] = s
+                tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
+                qlens[k] = cands.qsize[c]
+                tlens[k] = wlen[p]
+                aq[k] = cands.qbeg[c]
+                at[k] = cands.sbeg[c] - ws[p]
+            res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
+                               jnp.asarray(tb), jnp.asarray(tlens),
+                               jnp.asarray(aq), jnp.asarray(at), W=W)
+            st = np.asarray(res.stats)          # single host transfer: [6, PB]
+            r = slice(0, n_real)
+            live = np.full(n_real, live_default)
+            chunk_i = len(out["chunks"])
+            if not live_default:
+                # rescue pass: keep the wider result only where it aligned more
+                better = st[4, r] >= out["n_cols"][sel]
+                live[:] = better
+                for j, (p, b) in enumerate(zip(sel, better)):
+                    if b:
+                        ci, k = lane_of[int(p)]
+                        out["chunks"][ci][6][k] = False  # kill original lane
+                        lane_of[int(p)] = (chunk_i, j)
+                upd = sel[better]
+                ur = np.flatnonzero(better)
+                out["qoff"][upd] = st[0, ur]
+                out["qend"][upd] = st[1, ur]
+                out["toff"][upd] = st[2, ur] + ws[upd]
+                out["tend"][upd] = st[3, ur] + ws[upd]
+                out["n_cols"][upd] = st[4, ur]
+                out["ident"][upd] = np.asarray(res.ident)[ur]
+            else:
+                for k, p in enumerate(sel):
+                    lane_of[int(p)] = (chunk_i, k)
+                out["qoff"][sel] = st[0, r]
+                out["qend"][sel] = st[1, r]
+                out["toff"][sel] = st[2, r] + ws[sel]
+                out["tend"][sel] = st[3, r] + ws[sel]
+                out["n_cols"][sel] = st[4, r]
+                out["ident"][sel] = np.asarray(res.ident)[r]
+            out["chunks"].append([sel, res, jnp.asarray(qb), ws[sel],
+                                  aq.copy(), at.copy(), live])
+
+    run_pass(np.arange(len(cidx)), opts.band_width, True)
+    if opts.rescue_long_indels and len(cidx):
+        # cns_extension rescue trigger (consensus_aux.c:152-157): aligned query
+        # range fell short of the chain-predicted range by > 200 bp
+        lhang = np.maximum(out["qoff"] - cands.qbeg[cidx], 0)
+        rhang = np.maximum(cands.qend[cidx] - out["qend"], 0)
+        bad = np.flatnonzero((lhang + rhang) > 200)
+        if len(bad):
+            run_pass(bad, opts.band_width * opts.rescue_band_scale, False)
     return out
 
 
 def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
-    for sel, res, qb, ws_sel, aq, at in results["chunks"]:
+    for sel, res, qb, ws_sel, aq, at, live in results["chunks"]:
         PB = int(res.left_ops.shape[0])
         n_real = len(sel)
         pair_row = np.full(PB, TB, np.int32)           # padding rows -> trash row
-        pair_row[:n_real] = np.where(ok[sel], rows[sel], TB)
+        pair_row[:n_real] = np.where(ok[sel] & live, rows[sel], TB)
         w = np.zeros(PB, np.float32)
         w[:n_real] = np.asarray(tags_mod.calc_cns_weight(results["ident"][sel]))
         tsz = np.zeros(PB, np.int32)

@@ -36,3 +36,7 @@ class CnsOptions:
     templates_per_batch: int = 32
     pairs_per_chunk: int = 512
     band_width: int = 128
+    # long-indel rescue: re-extend hanging pairs with a wider band, the TPU
+    # stand-in for the DALIGNER cascade (oc2cns -r, cns_options.c:19 default 0)
+    rescue_long_indels: bool = False
+    rescue_band_scale: int = 4

@@ -87,30 +87,20 @@ def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, n
     return ws.astype(np.int64), we.astype(np.int64)
 
 
-def extend_candidates(
-    cands: Candidates,
-    qstore: ReadStore,
-    sstore: ReadStore,
-    min_align_size: int = 400,
-    min_ident: float = 0.0,
-    band_width: int = 128,
-    pairs_per_chunk: int = 512,
-    progress: Optional[Callable[[str], None]] = None,
-) -> M4Records:
-    """Banded-extend candidates into M4 records (endpoints + identity)."""
-    n = len(cands)
-    out_parts = []
-    ws, we = subject_windows(cands)
-    wlen = we - ws
-    # one tier per pair: query and subject window share the padded length
-    tier = np.array([_bucket_len(int(max(q, w))) for q, w in zip(cands.qsize, wlen)])
-    order = np.lexsort((cands.qsize, tier))
+def _extend_subset(cands, qstore, sstore, idxs, ws, wlen, band_width,
+                   pairs_per_chunk, out, progress=None):
+    """Extend the given candidate indices with band W=band_width, writing
+    endpoint/identity results into `out` arrays (indexed by candidate row)."""
+    tier = np.array([_bucket_len(int(max(cands.qsize[c], wlen[c]))) for c in idxs])
+    order = idxs[np.lexsort((cands.qsize[idxs], tier))]
+    tier_of = dict(zip(idxs.tolist(), tier.tolist()))
     cs = 0
+    n = len(order)
     while cs < n:
-        L = int(tier[order[cs]])
+        L = tier_of[int(order[cs])]
         PB = min(shapes.pairs_per_chunk(L, band_width), pairs_per_chunk)
         sel = order[cs:cs + PB]
-        sel = sel[tier[sel] == L]
+        sel = sel[[tier_of[int(c)] == L for c in sel]]
         cs += len(sel)
         n_real = len(sel)
         qb = np.zeros((PB, L), np.uint8)
@@ -122,7 +112,7 @@ def extend_candidates(
         for k, c in enumerate(sel):
             qs = qstore.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
             qb[k, :len(qs)] = qs
-            ts = sstore.get(int(cands.sid[c]))[ws[c]:we[c]]
+            ts = sstore.get(int(cands.sid[c]))[ws[c]:ws[c] + wlen[c]]
             tb[k, :len(ts)] = ts
             qlens[k] = cands.qsize[c]
             tlens[k] = wlen[c]
@@ -132,27 +122,80 @@ def extend_candidates(
                            jnp.asarray(tb), jnp.asarray(tlens),
                            jnp.asarray(aq), jnp.asarray(at), W=band_width)
         st = np.asarray(res.stats)          # single host transfer: [6, PB]
-        ident = np.asarray(res.ident)[:n_real]
-        n_cols = st[4, :n_real]
-        keep = (n_cols >= min_align_size) & (ident >= min_ident)
-        ki = np.flatnonzero(keep)
-        c_sel = sel[ki]
-        out_parts.append(M4Records(
-            qid=cands.qid[c_sel], sid=cands.sid[c_sel],
-            ident=ident[ki].astype(np.float32),
-            vscore=cands.score[c_sel],
-            qdir=cands.qdir[c_sel],
-            qoff=st[0, ki].astype(np.int32),
-            qend=st[1, ki].astype(np.int32),
-            qsize=cands.qsize[c_sel],
-            sdir=np.zeros(len(ki), np.int8),
-            soff=(st[2, ki] + ws[c_sel]).astype(np.int32),
-            send=(st[3, ki] + ws[c_sel]).astype(np.int32),
-            ssize=cands.ssize[c_sel],
-        ))
+        out["qoff"][sel] = st[0, :n_real]
+        out["qend"][sel] = st[1, :n_real]
+        out["toff"][sel] = st[2, :n_real] + ws[sel]
+        out["tend"][sel] = st[3, :n_real] + ws[sel]
+        out["n_cols"][sel] = st[4, :n_real]
+        out["ident"][sel] = np.asarray(res.ident)[:n_real]
         if progress and (cs // pairs_per_chunk) % 20 == 0:
-            progress(f"extend: {min(cs + pairs_per_chunk, n)}/{n} candidates")
-    return M4Records.concat(out_parts)
+            progress(f"extend: {cs}/{n} candidates")
+
+
+def rescue_hangs(cands: Candidates, idxs: np.ndarray, qoff: np.ndarray,
+                 qend: np.ndarray, hang: int = 200) -> np.ndarray:
+    """Candidates whose aligned query range fell short of the chain-predicted
+    range by > `hang` bp total — the cns_extension long-indel rescue trigger
+    (src/consensus/consensus_aux.c:152-157)."""
+    lhang = np.maximum(qoff[idxs] - cands.qbeg[idxs], 0)
+    rhang = np.maximum(cands.qend[idxs] - qend[idxs], 0)
+    return idxs[(lhang + rhang) > hang]
+
+
+def extend_candidates(
+    cands: Candidates,
+    qstore: ReadStore,
+    sstore: ReadStore,
+    min_align_size: int = 400,
+    min_ident: float = 0.0,
+    band_width: int = 128,
+    pairs_per_chunk: int = 512,
+    rescue_long_indels: bool = True,
+    rescue_band_scale: int = 4,
+    progress: Optional[Callable[[str], None]] = None,
+) -> M4Records:
+    """Banded-extend candidates into M4 records (endpoints + identity).
+
+    When `rescue_long_indels`, pairs whose alignment stopped >200 bp short of
+    the chain-predicted query range are re-extended with a `rescue_band_scale`x
+    wider band — the TPU replacement for the reference's DALIGNER O(nd) rescue
+    cascade (consensus_aux.c:123-215, asm_pm sensitive-daligner retry): a wider
+    band covers proportionally longer clustered indels."""
+    n = len(cands)
+    ws, we = subject_windows(cands)
+    wlen = we - ws
+    out = {k: np.zeros(n, np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
+    out["ident"] = np.zeros(n, np.float64)
+    _extend_subset(cands, qstore, sstore, np.arange(n), ws, wlen, band_width,
+                   pairs_per_chunk, out, progress)
+    if rescue_long_indels and n:
+        bad = rescue_hangs(cands, np.arange(n), out["qoff"], out["qend"])
+        if len(bad):
+            prev = {k: out[k][bad].copy() for k in out}
+            _extend_subset(cands, qstore, sstore, bad, ws, wlen,
+                           band_width * rescue_band_scale, pairs_per_chunk, out)
+            # keep the wider-band result only where it aligned more columns
+            # (reference falls back to the small-edlib result, :203-213)
+            worse = out["n_cols"][bad] < prev["n_cols"]
+            for k in out:
+                out[k][bad[worse]] = prev[k][worse]
+            if progress:
+                progress(f"rescued {len(bad) - int(worse.sum())}/{len(bad)} hanging pairs")
+    keep = (out["n_cols"] >= min_align_size) & (out["ident"] >= min_ident)
+    ki = np.flatnonzero(keep)
+    return M4Records(
+        qid=cands.qid[ki], sid=cands.sid[ki],
+        ident=out["ident"][ki].astype(np.float32),
+        vscore=cands.score[ki],
+        qdir=cands.qdir[ki],
+        qoff=out["qoff"][ki].astype(np.int32),
+        qend=out["qend"][ki].astype(np.int32),
+        qsize=cands.qsize[ki],
+        sdir=np.zeros(len(ki), np.int8),
+        soff=out["toff"][ki].astype(np.int32),
+        send=out["tend"][ki].astype(np.int32),
+        ssize=cands.ssize[ki],
+    )
 
 
 def overlap_all_vs_all(
