@@ -158,6 +158,46 @@ class ReadStore:
         return out, lens.astype(np.int32)
 
 
+_PAC_MAGIC = b"NTPC"  # necat_tpu packed container
+_PAC_VERSION = 1
+
+
+def dump_packed(store: "ReadStore", path: str | os.PathLike) -> None:
+    """Binary 2-bit packed store dump (pdb_dump role, src/common/packed_db.c:291-315:
+    header + seq infos + name blob + packed bases; format is ours, role is the same).
+
+    Layout: magic, version, n_reads, total_bases (u64), offsets[n+1] (i64),
+    name blob length + utf-8 names joined by \\n, packed u32 words."""
+    with open(path, "wb") as f:
+        f.write(_PAC_MAGIC)
+        np.array([_PAC_VERSION, store.n_reads, store.total_bases],
+                 np.uint64).tofile(f)
+        store.offsets.astype(np.int64).tofile(f)
+        blob = "\n".join(store.names).encode()
+        np.array([len(blob)], np.uint64).tofile(f)
+        f.write(blob)
+        pack_2bit(store.bases).tofile(f)
+
+
+def load_packed(path: str | os.PathLike) -> "ReadStore":
+    """Inverse of dump_packed (pdb_load role, src/common/packed_db.c:386)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _PAC_MAGIC:
+            raise ValueError(f"{path}: not a packed read store")
+        ver, n_reads, total = np.fromfile(f, np.uint64, 3)
+        if ver != _PAC_VERSION:
+            raise ValueError(f"{path}: unsupported version {ver}")
+        offsets = np.fromfile(f, np.int64, int(n_reads) + 1)
+        blob_len = int(np.fromfile(f, np.uint64, 1)[0])
+        blob = f.read(blob_len).decode()
+        names = blob.split("\n") if blob else [""] * int(n_reads)
+        n_words = -(-int(total) // 16)
+        words = np.fromfile(f, np.uint32, n_words)
+    bases = unpack_2bit(words, int(total))
+    return ReadStore(bases=bases, offsets=offsets, names=names)
+
+
 def pack_2bit(bases: np.ndarray) -> np.ndarray:
     """Pack uint8 codes 0..3 into uint32 words, 16 bases per word, base 0 in the
     high bits (mirrors _set_pac bit layout, src/common/ontcns_aux.h:118)."""

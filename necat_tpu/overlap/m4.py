@@ -123,6 +123,55 @@ class M4Records:
             send=arr[:, 10].astype(np.int32), ssize=arr[:, 11].astype(np.int32))
 
     @classmethod
+    def load_ovl(cls, path: str | os.PathLike) -> "M4Records":
+        """Load FALCON OVL overlaps (OverlapStore::FromOvlLine parity,
+        src/fsa/overlap_store.cpp:126-155: aid bid score ident astrand astart
+        aend alen bstrand bstart bend blen ...). Read-only, like the reference."""
+        opener = gzip.open if str(path).endswith(".gz") else open
+        rows = []
+        with opener(path, "rt") as f:
+            for line in f:
+                t = line.split()
+                if len(t) < 12:
+                    continue
+                rows.append((int(t[0]), int(t[1]), float(t[3]), int(t[2]),
+                             int(t[4]), int(t[5]), int(t[6]), int(t[7]),
+                             int(t[8]), int(t[9]), int(t[10]), int(t[11])))
+        if not rows:
+            return cls.empty()
+        arr = np.array(rows, dtype=np.float64)
+        m = cls(
+            qid=arr[:, 0].astype(np.int32), sid=arr[:, 1].astype(np.int32),
+            ident=arr[:, 2].astype(np.float32), vscore=arr[:, 3].astype(np.int32),
+            qdir=arr[:, 4].astype(np.int8), qoff=arr[:, 5].astype(np.int32),
+            qend=arr[:, 6].astype(np.int32), qsize=arr[:, 7].astype(np.int32),
+            sdir=arr[:, 8].astype(np.int8), soff=arr[:, 9].astype(np.int32),
+            send=arr[:, 10].astype(np.int32), ssize=arr[:, 11].astype(np.int32))
+        # normalize to the sdir=0 convention (mirror both strands when b is rev)
+        rev = m.sdir == 1
+        if rev.any():
+            qoff = np.where(rev, m.qsize - m.qend, m.qoff)
+            qend = np.where(rev, m.qsize - m.qoff, m.qend)
+            soff = np.where(rev, m.ssize - m.send, m.soff)
+            send = np.where(rev, m.ssize - m.soff, m.send)
+            m.qdir = np.where(rev, 1 - m.qdir, m.qdir).astype(np.int8)
+            m.qoff, m.qend, m.soff, m.send = qoff, qend, soff, send
+            m.sdir = np.zeros_like(m.sdir)
+        return m
+
+    @classmethod
+    def load_any(cls, path: str | os.PathLike, name2id=None) -> "M4Records":
+        """Extension-dispatching loader (OverlapStore::DetectFileType,
+        src/fsa/overlap_store.cpp:35-56): .m4[.gz], .paf[.gz], .ovl[.gz]."""
+        p = str(path)
+        base = p[:-3] if p.endswith(".gz") else p
+        if base.endswith(".paf"):
+            return cls.load_paf(path, name2id)
+        if base.endswith(".ovl"):
+            return cls.load_ovl(path)
+        return cls.load(path)
+
+    @classmethod
     def load(cls, path: str | os.PathLike) -> "M4Records":
         opener = gzip.open if str(path).endswith(".gz") else open
         with opener(path, "rt") as f:

@@ -78,12 +78,20 @@ def cmd_extract(args):
 
 
 def cmd_preprocess(args):
+    """oc2pprr + oc2renumberSeqs: validate/renumber reads, min-length filter,
+    and drop near-all-repeat reads via DUST masking
+    (src/preprocess_raw_reads/main.c + check_nonrepeat_suffix.cpp)."""
+    from necat_tpu.utils.dust import is_nonrepeat_sequence
     inp, outp = args[0], args[1]
     min_len = int(args[2]) if len(args) > 2 else 0
     rs = ReadStore.from_fasta(inp, min_length=min_len)
+    keep = np.array([is_nonrepeat_sequence(rs.get(i)) for i in range(rs.n_reads)])
+    n_dropped = int((~keep).sum())
+    if n_dropped:
+        rs = rs.subset(np.flatnonzero(keep))
     rs.names = [str(i + 1) for i in range(rs.n_reads)]  # renumber (oc2renumberSeqs)
     rs.to_fasta(outp)
-    print(f"{rs.n_reads} reads")
+    print(f"{rs.n_reads} reads ({n_dropped} repeat reads dropped)")
 
 
 def cmd_simulate(args):
