@@ -27,6 +27,7 @@ from necat_tpu.consensus.options import CnsOptions
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates
 from necat_tpu.utils import shapes
+from necat_tpu.utils.logging import timed
 
 
 @dataclasses.dataclass
@@ -243,10 +244,13 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
         round_id += 1
 
     # consensus call + compaction
-    emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac,
-                                opts.ins_offset)
-    pieces = compact_consensus(np.asarray(emit), np.asarray(base), np.asarray(covten[:TB]),
-                               tlens_np, tbatch_np, opts.min_cov, opts.min_size, opts.raw_min_gap)
+    with timed("cns.call_consensus"):
+        emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac,
+                                    opts.ins_offset)
+    with timed("cns.compact"):
+        pieces = compact_consensus(np.asarray(emit), np.asarray(base), np.asarray(covten[:TB]),
+                                   tlens_np, tbatch_np, opts.min_cov, opts.min_size,
+                                   opts.raw_min_gap)
     records = []
     for b, (cns_p, raw_p) in enumerate(pieces):
         if b >= n_real_templates:
@@ -290,25 +294,28 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
             sel = sel[[tier_of[int(p)] == L for p in sel]]  # keep single-tier
             cs += len(sel)
             n_real = len(sel)
-            qb = np.zeros((PB, L), np.uint8)
-            tb = np.zeros((PB, L), np.uint8)
-            qlens = np.zeros(PB, np.int32)
-            tlens = np.zeros(PB, np.int32)
-            aq = np.zeros(PB, np.int32)
-            at = np.zeros(PB, np.int32)
-            for k, p in enumerate(sel):
-                c = cidx[p]
-                s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
-                qb[k, :len(s)] = s
-                tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
-                qlens[k] = cands.qsize[c]
-                tlens[k] = wlen[p]
-                aq[k] = cands.qbeg[c]
-                at[k] = cands.sbeg[c] - ws[p]
-            res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
-                               jnp.asarray(tb), jnp.asarray(tlens),
-                               jnp.asarray(aq), jnp.asarray(at), W=W)
-            st = np.asarray(res.stats)          # single host transfer: [6, PB]
+            with timed("cns.chunk_build"):
+                qb = np.zeros((PB, L), np.uint8)
+                tb = np.zeros((PB, L), np.uint8)
+                qlens = np.zeros(PB, np.int32)
+                tlens = np.zeros(PB, np.int32)
+                aq = np.zeros(PB, np.int32)
+                at = np.zeros(PB, np.int32)
+                for k, p in enumerate(sel):
+                    c = cidx[p]
+                    s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
+                    qb[k, :len(s)] = s
+                    tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
+                    qlens[k] = cands.qsize[c]
+                    tlens[k] = wlen[p]
+                    aq[k] = cands.qbeg[c]
+                    at[k] = cands.sbeg[c] - ws[p]
+            with timed("cns.extend_dispatch"):
+                res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
+                                   jnp.asarray(tb), jnp.asarray(tlens),
+                                   jnp.asarray(aq), jnp.asarray(at), W=W)
+            with timed("cns.stats_sync"):
+                st = np.asarray(res.stats)          # single host transfer: [6, PB]
             r = slice(0, n_real)
             live = np.full(n_real, live_default)
             chunk_i = len(out["chunks"])
@@ -368,8 +375,9 @@ def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
         at_abs[:n_real] += ws_sel
         args = (qb, jnp.asarray(aq), jnp.asarray(at_abs.astype(np.int32)),
                 jnp.asarray(pair_row), jnp.asarray(w), jnp.asarray(tsz))
-        weights, covten = tags_mod.scatter_pass(
-            weights, covten, res.right_ops, res.right_n, *args, reversed_part=False)
-        weights, covten = tags_mod.scatter_pass(
-            weights, covten, res.left_ops, res.left_n, *args, reversed_part=True)
+        with timed("cns.scatter"):
+            weights, covten = tags_mod.scatter_pass(
+                weights, covten, res.right_ops, res.right_n, *args, reversed_part=False)
+            weights, covten = tags_mod.scatter_pass(
+                weights, covten, res.left_ops, res.left_n, *args, reversed_part=True)
     return weights, covten

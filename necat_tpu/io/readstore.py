@@ -73,6 +73,16 @@ class ReadStore:
 
     @classmethod
     def from_fasta(cls, path: str | os.PathLike, min_length: int = 0) -> "ReadStore":
+        from necat_tpu import native
+        parsed = native.read_seq_file(os.fspath(path))
+        if parsed is not None:
+            names, bases, offsets = parsed
+            store = cls(bases=bases, offsets=offsets, names=names)
+            if min_length > 0:
+                keep = np.flatnonzero(store.lengths >= min_length)
+                if len(keep) != store.n_reads:
+                    store = store.subset(keep)
+            return store
         names, seqs = seqio.read_fasta(path)
         if min_length > 0:
             keep = [(n, s) for n, s in zip(names, seqs) if len(s) >= min_length]
