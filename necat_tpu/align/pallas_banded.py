@@ -40,13 +40,30 @@ from jax.experimental.pallas import tpu as pltpu
 from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS, OP_PAD
 
 INF = 1 << 20    # python int: jnp scalars would be captured as kernel constants
-SUB = 8          # pairs per grid step (sublane dim)
-CBLK = 128       # columns per grid block
+SUB_MAX = 256    # pairs per grid step (sublane dim): bigger batches per column
+                 # step amortize Mosaic per-instruction overhead (measured 229 ms
+                 # -> 60 ms per 256x8192 chunk going SUB 8 -> 256)
 PAD_BASE = 127   # query padding value (never matches a target base 0..3)
 
 
+def _pick_sub(PB: int) -> int:
+    s = 8
+    while s * 2 <= min(PB, SUB_MAX) and PB % (s * 2) == 0:
+        s *= 2
+    return s
+
+
+def _pick_cblk(SUB: int, W: int) -> int:
+    """Columns per grid block, sized so the in+out blocks (SUB*CBLK*W bytes
+    each, double-buffered) fit the 16 MB VMEM scoped limit."""
+    cblk = 128
+    while SUB * cblk * W * 4 > (12 << 20) and cblk > 8:
+        cblk //= 2
+    return cblk
+
+
 def _forward_kernel(sub_ref, la_ref, lb_ref, dirs_ref, cost_ref,
-                    state_ref, *, W: int):
+                    state_ref, *, W: int, SUB: int, CBLK: int):
     """Grid: (PB//SUB, max_cols//CBLK). sub_ref [SUB, CBLK*W] holds the
     precomputed diagonal-coordinate mismatch costs; state carries D."""
     jb = pl.program_id(1)
@@ -125,16 +142,17 @@ def _diag_sub_matrix(a, b, la, lb, W: int, MC: int):
     ctr = W // 2 - (la_ - lb_) // 2                              # [PB,1]
     # a_shift[p, x] = a[p, x - ctr_p] with out-of-range -> PAD_BASE, so that
     # dq[p, jc, l] = a_shift[p, jc + l] (j = jc+1 -> query index j+l-ctr-1)
+    # kept uint8 end-to-end so the [PB, MC, W] intermediate stays 1 byte/cell
     S = MC + W
     x = jnp.arange(S, dtype=jnp.int32)[None, :]
     src = x - ctr
     ok = (src >= 0) & (src < L)
     a_shift = jnp.where(ok, jnp.take_along_axis(
-        a.astype(jnp.int32), jnp.clip(src, 0, L - 1), axis=1), PAD_BASE)
+        a.astype(jnp.uint8), jnp.clip(src, 0, L - 1), axis=1), jnp.uint8(PAD_BASE))
     dq = jnp.stack([a_shift[:, l:l + MC] for l in range(W)], axis=2)  # [PB, MC, W]
     mc = min(MC, b.shape[1])
-    tcol = jnp.full((PB, MC), -1, jnp.int32)
-    tcol = tcol.at[:, :mc].set(b[:, :mc].astype(jnp.int32))
+    tcol = jnp.full((PB, MC), 255, jnp.uint8)
+    tcol = tcol.at[:, :mc].set(b[:, :mc].astype(jnp.uint8))
     return (dq != tcol[:, :, None]).astype(jnp.uint8)
 
 
@@ -144,7 +162,8 @@ def banded_forward_pallas(a, b, la, lb, W: int, max_cols: int,
     (dirs, offs, None, cost) with identical conventions."""
     PB, L = a.shape
     Lb = b.shape[1]
-    assert PB % SUB == 0, "pair batch must be a multiple of 8"
+    SUB = _pick_sub(PB)
+    CBLK = _pick_cblk(SUB, W)
     n_jb = pl.cdiv(max_cols, CBLK)
     MC = n_jb * CBLK
 
@@ -155,7 +174,7 @@ def banded_forward_pallas(a, b, la, lb, W: int, max_cols: int,
     la_v = jnp.broadcast_to(la[:, None], (PB, 128))
     lb_v = jnp.broadcast_to(lb[:, None], (PB, 128))
 
-    kern = functools.partial(_forward_kernel, W=W)
+    kern = functools.partial(_forward_kernel, W=W, SUB=SUB, CBLK=CBLK)
     dirs, cost = pl.pallas_call(
         kern,
         grid=(PB // SUB, n_jb),

@@ -11,8 +11,10 @@ from __future__ import annotations
 # sequence-length tiers (reads 3 kb - 40 kb + polish windows)
 LENGTH_TIERS = (2048, 8192, 32768, 65536, 262144)
 
-# dirs-buffer budget for the banded aligner: PB * L * W bytes
-EXTENSION_BYTES = 256 << 20
+# dirs-buffer budget for the banded aligner: PB * L * W bytes (uint8 dirs +
+# uint8 sub-matrix each this size; 16 GB HBM on v5e leaves ample headroom, and
+# bigger chunks let the Pallas kernel run at its widest pair batch)
+EXTENSION_BYTES = 1 << 30
 BAND_W_DEFAULT = 128
 
 
