@@ -124,7 +124,9 @@ def banded_traceback(dirs, offs, la, lb, max_ops: int):
         r, j, done, ops_rev, k = state
         slot = jnp.clip(r - jnp.take_along_axis(offs, j[:, None], axis=1)[:, 0], 0, W - 1)
         jj = jnp.clip(j - 1, 0, LB - 1)
-        dcur = dirs[bidx, jj, slot]
+        # mask enrichment bits (pallas forward packs mismatch/qbase at bits 2+;
+        # keep the OP_PAD sentinel, whose low bits are already 3)
+        dcur = dirs[bidx, jj, slot] & 3
         # forced moves at borders
         dcur = jnp.where(r == 0, OP_DEL, dcur)
         dcur = jnp.where(j == 0, OP_INS, dcur)
@@ -168,6 +170,107 @@ def clip_tail(ops, n_ops, a, b, tail_match: int = TAIL_MATCH):
     last_good = jnp.max(jnp.where(good, jnp.arange(L)[None, :], -1), axis=1)
     n_clip = jnp.where(any_good, last_good + 1, 0).astype(jnp.int32)
     return n_clip, match
+
+
+N_INSB = 7  # inserted bases recorded per column (deltas 1..N_INSB; = max_delta-1)
+
+
+@functools.partial(jax.jit, static_argnames=("MC",))
+def ops_to_cols(ops, n_ops, a, b, MC: int):
+    """Convert an op sequence to the PER-COLUMN encoding.
+
+    cols int32[B, MC]: entry j-1 describes target column j (1-based):
+        op:2 | match:1 | consumed-query-base:2 | k:25+
+    where op is the column's target-consuming op (OP_DIAG/OP_DEL, OP_PAD past
+    the alignment), match/qbase describe the DIAG, and k counts the OP_INS ops
+    that follow it (before the next column's consumer).
+    insb int32[B, MC]: the first N_INSB inserted query bases of the column's
+    run (bits 2(d-1)) and the last N_INSB counted backward (bits 14+2(d-1)).
+    lead int32[B]: leading insertions before column 1.
+
+    This is the scan-path (CPU oracle) converter; the Pallas backtrack kernel
+    emits the same encoding directly."""
+    B, LOPS = ops.shape
+    i = jnp.arange(LOPS, dtype=jnp.int32)[None, :]
+    valid = (i < n_ops[:, None]) & (ops != OP_PAD)
+    consume_t = (ops != OP_INS) & valid
+    consume_q = (ops != OP_DEL) & valid
+    is_ins = (ops == OP_INS) & valid
+    isdiag = (ops == OP_DIAG) & valid
+    ct = jnp.cumsum(consume_t, axis=1).astype(jnp.int32)     # column of each op
+    cq = jnp.cumsum(consume_q, axis=1).astype(jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], ops.shape)
+    lin = rows * (MC + 1) + jnp.clip(ct, 0, MC)
+
+    def col_sum(v):
+        return jnp.zeros(B * (MC + 1), jnp.int32).at[lin.reshape(-1)].add(
+            v.astype(jnp.int32).reshape(-1)).reshape(B, MC + 1)
+
+    qb_op = jnp.take_along_axis(a.astype(jnp.int32),
+                                jnp.clip(cq - 1, 0, a.shape[1] - 1), axis=1)
+    tb_op = jnp.take_along_axis(b.astype(jnp.int32),
+                                jnp.clip(ct - 1, 0, b.shape[1] - 1), axis=1)
+    kflat = col_sum(is_ins)
+    present = col_sum(consume_t)
+    opflat = col_sum(jnp.where(consume_t, ops.astype(jnp.int32), 0))
+    matchflat = col_sum(isdiag & (qb_op == tb_op))
+    qbaseflat = col_sum(jnp.where(isdiag, qb_op, 0))
+    # per-ins rank within its run (1-based): distance to the last non-INS op
+    last_non_ins = jax.lax.cummax(jnp.where(~is_ins & valid, i, -1), axis=1)
+    m = jnp.where(is_ins, i - last_non_ins, 0)
+    k_of = jnp.take_along_axis(kflat, jnp.clip(ct, 0, MC), axis=1)
+    insflat = jnp.zeros((B, MC + 1), jnp.int32)
+    for d in range(1, N_INSB + 1):
+        insflat = insflat | (col_sum(jnp.where(is_ins & (m == d), qb_op, 0)) << (2 * (d - 1)))
+        insflat = insflat | (col_sum(jnp.where(is_ins & (m == k_of - d + 1), qb_op, 0))
+                             << (14 + 2 * (d - 1)))
+    op_col = jnp.where(present[:, 1:] > 0, opflat[:, 1:], OP_PAD)
+    cols = ((kflat[:, 1:] << 5) | (qbaseflat[:, 1:] << 3)
+            | (matchflat[:, 1:] << 2) | op_col)
+    return cols.astype(jnp.int32), insflat[:, 1:], kflat[:, 0].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tail_match",))
+def cols_clip_stats(cols, lead, a, b, tail_match: int = TAIL_MATCH):
+    """Tail-clip + alignment stats in the per-column domain.
+
+    Clips to the last run of `tail_match` consecutive matched DIAG columns
+    (a run breaks on a mismatch, a DEL column, or intervening insertions —
+    exactly the op-string M-run of clip_tail / oc_aligner.c:223-259).
+    Returns dict(jc, q, t, n_match, n_cols): jc = clipped target-column count
+    (= t consumed), q = query consumed, n_cols = total ops kept."""
+    B, MC = cols.shape
+    op = cols & 3
+    k = cols >> 5
+    active = op != OP_PAD
+    isdiag = op == OP_DIAG
+    jcol = jnp.arange(1, MC + 1, dtype=jnp.int32)[None, :]
+    dq = jnp.where(isdiag, 1, 0) + jnp.where(active, k, 0)
+    CQ = lead[:, None] + jnp.cumsum(dq, axis=1)              # q consumed thru col j
+    qidx = CQ - k - 1                                        # q index of the diag op
+    qb = jnp.take_along_axis(a, jnp.clip(qidx, 0, a.shape[1] - 1), axis=1)
+    mc = min(MC, b.shape[1])
+    tb = jnp.full((B, MC), 255, jnp.uint8).at[:, :mc].set(b[:, :mc].astype(jnp.uint8))
+    match = isdiag & (qb.astype(jnp.uint8) == tb)
+    kprev = jnp.concatenate([lead[:, None], k[:, :-1]], axis=1)
+    # run of matched columns ending at j, with a half-step barrier when the
+    # previous column carried insertions (they break the op-string M run)
+    e = jnp.where(~match, 2 * jcol,
+                  jnp.where(kprev > 0, 2 * jcol - 1, -1))
+    laste = jnp.maximum(jax.lax.cummax(e, axis=1), 1)  # implicit barrier before col 1
+    run = (2 * jcol - laste + 1) // 2
+    good = match & (run >= tail_match)
+    jc = jnp.max(jnp.where(good, jcol, 0), axis=1).astype(jnp.int32)
+    cum_match = jnp.cumsum(match, axis=1)
+    cum_cols = jnp.cumsum(jnp.where(active, 1 + k, 0), axis=1)
+    sel = jnp.clip(jc - 1, 0, MC - 1)[:, None]
+    g = lambda x: jnp.take_along_axis(x, sel, axis=1)[:, 0]
+    has = jc > 0
+    k_jc = jnp.where(has, g(k), 0)
+    q = jnp.where(has, g(CQ) - k_jc, 0).astype(jnp.int32)
+    n_match = jnp.where(has, g(cum_match), 0).astype(jnp.int32)
+    n_cols = jnp.where(has, lead + g(cum_cols) - k_jc, 0).astype(jnp.int32)
+    return dict(jc=jc, q=q, t=jc, n_match=n_match, n_cols=n_cols)
 
 
 def _gather_rev_prefix(batch, anchor, L):
@@ -254,30 +357,32 @@ def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
         la = jnp.minimum(la_full, lb_full + W // 4)
         lb = jnp.minimum(lb_full, la_full + W // 4)
         if use_pallas:
-            from necat_tpu.align.pallas_banded import banded_forward_pallas
+            from necat_tpu.align.pallas_banded import (banded_backtrack_cols,
+                                                       banded_forward_pallas)
             dirs, offs, _, cost = banded_forward_pallas(a, b, la, lb, W, max_cols=LT)
+            cols, _insb, lead = banded_backtrack_cols(dirs, la, lb, W, max_cols=LT)
         else:
             dirs, offs, _, cost = banded_forward(a, b, la, lb, W, max_cols=LT)
-        ops, n_ops = banded_traceback(dirs, offs, la, lb, max_ops=LQ + LT)
-        n_clip, match = clip_tail(ops, n_ops, a, b, tail_match)
-        keep = jnp.arange(ops.shape[1])[None, :] < n_clip[:, None]
-        q_consumed = ((ops != OP_DEL) & keep).sum(axis=1).astype(jnp.int32)
-        t_consumed = ((ops != OP_INS) & keep).sum(axis=1).astype(jnp.int32)
-        n_match = (match & keep).sum(axis=1).astype(jnp.int32)
-        out[side] = dict(ops=ops, n_ops=n_clip, q=q_consumed, t=t_consumed, n_match=n_match)
+            ops, n_ops = banded_traceback(dirs, offs, la, lb, max_ops=LQ + LT)
+            cols, _insb, lead = ops_to_cols(ops, n_ops, a, b, MC=LT)
+        st = cols_clip_stats(cols, lead, a, b, tail_match)
+        out[side] = dict(cols=cols, lead=lead, jc=st["jc"], q=st["q"], t=st["t"],
+                         n_match=st["n_match"], n_cols=st["n_cols"])
 
     qoff = anchor_q - out["left"]["q"]
     toff = anchor_t - out["left"]["t"]
     qend = anchor_q + out["right"]["q"]
     tend = anchor_t + out["right"]["t"]
-    n_cols = out["left"]["n_ops"] + out["right"]["n_ops"]
+    n_cols = out["left"]["n_cols"] + out["right"]["n_cols"]
     n_match = out["left"]["n_match"] + out["right"]["n_match"]
     ident = jnp.where(n_cols > 0, 100.0 * n_match / jnp.maximum(n_cols, 1), 0.0)
     # stats packed into one array so callers do a single host transfer
     stats = jnp.stack([qoff, qend, toff, tend, n_cols, n_match], axis=0)
     return dict(
-        left_ops=out["left"]["ops"], left_n=out["left"]["n_ops"],
-        right_ops=out["right"]["ops"], right_n=out["right"]["n_ops"],
+        left_cols=out["left"]["cols"], left_lead=out["left"]["lead"],
+        left_jc=out["left"]["jc"],
+        right_cols=out["right"]["cols"], right_lead=out["right"]["lead"],
+        right_jc=out["right"]["jc"],
         qoff=qoff, qend=qend, toff=toff, tend=tend,
         n_cols=n_cols, n_match=n_match, ident=ident, stats=stats,
     )

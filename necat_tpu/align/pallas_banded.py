@@ -90,7 +90,8 @@ def _forward_kernel(sub_ref, la_ref, lb_ref, dirs_ref, cost_ref,
 
         d_p1 = jnp.concatenate([D[:, 1:], jnp.full((SUB, 1), INF, jnp.int32)], axis=1)
 
-        sub = sub_ref[:, pl.ds(pl.multiple_of(jl * W, 128), W)].astype(jnp.int32)
+        enc = sub_ref[:, pl.ds(pl.multiple_of(jl * W, 128), W)].astype(jnp.int32)
+        sub = enc & 1                       # mismatch bit; bits 1-2 = query base
 
         diag = D + sub
         left = d_p1 + 1
@@ -112,7 +113,11 @@ def _forward_kernel(sub_ref, la_ref, lb_ref, dirs_ref, cost_ref,
                               axis=1) + 1
         d_out = jnp.where(Dn == diag, OP_DIAG,
                           jnp.where(Dn == upv, OP_INS,
-                                    jnp.where(Dn == left, OP_DEL, OP_PAD))).astype(jnp.uint8)
+                                    jnp.where(Dn == left, OP_DEL, OP_PAD)))
+        # enriched dirs byte: op:2 | mismatch:1 | query base:2 — the backtrack
+        # kernel re-emits match flags and inserted bases so no consumer ever
+        # needs a query gather again
+        d_out = (d_out | (enc << 2)).astype(jnp.uint8)
         active = j <= lb
         dirs_ref[:, pl.ds(pl.multiple_of(jl * W, 128), W)] = \
             jnp.where(active, d_out, jnp.uint8(OP_PAD))
@@ -130,8 +135,10 @@ def _forward_kernel(sub_ref, la_ref, lb_ref, dirs_ref, cost_ref,
 
 @functools.partial(jax.jit, static_argnames=("W", "MC"))
 def _diag_sub_matrix(a, b, la, lb, W: int, MC: int):
-    """SUB[p, jc, l] = (a[p, j+l-ctr_p-1] != b[p, j-1]) for j = jc+1, with the
-    CONSTANT per-pair band center ctr_p = W/2 - (la-lb)//2.
+    """ENC[p, jc, l] = mismatch | (qbase << 1) where mismatch =
+    (a[p, j+l-ctr_p-1] != b[p, j-1]) and qbase = a[p, j+l-ctr_p-1] & 3,
+    for j = jc+1, with the CONSTANT per-pair band center
+    ctr_p = W/2 - (la-lb)//2.
 
     Built without large gathers: one tiny per-pair-constant shift of `a`
     (gather of PB*(MC+W) elements), then W static shifted slices (a Hankel
@@ -153,7 +160,8 @@ def _diag_sub_matrix(a, b, la, lb, W: int, MC: int):
     mc = min(MC, b.shape[1])
     tcol = jnp.full((PB, MC), 255, jnp.uint8)
     tcol = tcol.at[:, :mc].set(b[:, :mc].astype(jnp.uint8))
-    return (dq != tcol[:, :, None]).astype(jnp.uint8)
+    mism = (dq != tcol[:, :, None]).astype(jnp.uint8)
+    return mism | ((dq & 3) << 1)
 
 
 def banded_forward_pallas(a, b, la, lb, W: int, max_cols: int,
@@ -203,3 +211,154 @@ def banded_forward_pallas(a, b, la, lb, W: int, max_cols: int,
     ctr = W // 2 - (la[:, None] - lb[:, None]) // 2
     offs_full = (j - ctr).astype(jnp.int32)
     return dirs[:, :max_cols], offs_full[:, :max_cols + 1], None, cost[:, 0]
+
+
+# --------------------------------------------------------------- backtrack
+
+CBLK_BT = 128    # columns per backtrack grid block (lane dim of the cols output)
+
+
+def _pick_sub_bt(PB: int, W: int) -> int:
+    """Pair batch per backtrack grid step: dirs blocks (SUB*CBLK_BT*W bytes,
+    double-buffered) must fit VMEM."""
+    s = 8
+    while (s * 2 <= min(PB, SUB_MAX) and PB % (s * 2) == 0
+           and (s * 2) * CBLK_BT * W * 2 <= (10 << 20)):
+        s *= 2
+    return s
+
+
+N_INSB = 7       # inserted bases emitted per column end (= max_delta - 1)
+
+
+def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
+                      cur_ref, *, W: int, SUB: int):
+    """Walk the optimal path backward from (la, lb), one TARGET COLUMN per
+    step (insertion runs within a column are collapsed via a lane scan).
+    Grid: (PB//SUB, n_jb) with blocks visited high column -> low (reversed
+    index maps). Replaces the sequential op-at-a-time traceback
+    (banded.banded_traceback), whose per-step gather made it ~40x slower
+    than the forward DP.
+
+    Emits per column j:
+      cols:  op:2 | match:1 | consumed-query-base:2 | k (insertion count):25+
+      insb:  first N_INSB inserted bases (bits 2(d-1), extension order) |
+             last  N_INSB inserted bases (bits 14+2(d-1), counted backward) —
+             the forward tag pass reads the first run, the reversed pass the
+             last (insertion deltas flip under reversal).
+    """
+    CBLK = CBLK_BT
+    jb = pl.program_id(1)
+    n_jb = pl.num_programs(1)
+    ob = n_jb - 1 - jb                       # original column block index
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (SUB, CBLK), 1)
+    la = la_ref[:, :1]
+    lb = lb_ref[:, :1]
+    ctr = W // 2 - (la - lb) // 2
+
+    @pl.when(jb == 0)
+    def _init():
+        end_slot = jnp.clip(la - lb + ctr, 0, W - 1)       # slot of (la, lb)
+        cur_ref[:, :] = jnp.broadcast_to(end_slot, (SUB, W))
+
+    j0 = ob * CBLK
+
+    def col_step(t, carry):
+        cur, acc, acc_i = carry
+        jl = CBLK - 1 - t                                   # reverse within block
+        j = j0 + jl + 1
+        active = j <= lb                                    # [SUB, 1]
+        vcol = dirs_ref[:, pl.ds(pl.multiple_of(jl * W, 128), W)].astype(jnp.int32)
+        opcol = vcol & 3
+        qb_lane = (vcol >> 3) & 3
+        is_ins = opcol == OP_INS
+        # r[l] = length of the consecutive-INS run ending at lane l
+        x = jnp.where(is_ins, -1, lane)
+        s = 1
+        while s < W:
+            shifted = jnp.concatenate(
+                [jnp.full((SUB, s), -1, jnp.int32), x[:, :W - s]], axis=1)
+            x = jnp.maximum(x, shifted)
+            s *= 2
+        r = lane - x
+        curc = cur[:, :1]
+        k = jnp.sum(jnp.where(lane == curc, r, 0), axis=1, keepdims=True)
+        sel = curc - k                                      # slot of the consumer op
+        vsel = jnp.sum(jnp.where(lane == sel, vcol, 0), axis=1, keepdims=True)
+        o = vsel & 3
+        row_sel = (j - ctr) + sel
+        o = jnp.where(row_sel <= 0, OP_DEL, o)              # row 0: all-del border
+        match = jnp.where(o == OP_DIAG, 1 - ((vsel >> 2) & 1), 0)
+        qbase = jnp.where(o == OP_DIAG, (vsel >> 3) & 3, 0)
+        insv = jnp.zeros_like(k)
+        for d in range(1, N_INSB + 1):
+            bd = jnp.sum(jnp.where(lane == sel + d, qb_lane, 0), axis=1, keepdims=True)
+            bl = jnp.sum(jnp.where(lane == curc - (d - 1), qb_lane, 0), axis=1,
+                         keepdims=True)
+            ok_d = k >= d
+            insv = insv | jnp.where(ok_d, bd << (2 * (d - 1)), 0) \
+                        | jnp.where(ok_d, bl << (14 + 2 * (d - 1)), 0)
+        val = jnp.where(active, (k << 5) | (qbase << 3) | (match << 2) | o, OP_PAD)
+        acc = jnp.where(lane_c == jl, val, acc)
+        acc_i = jnp.where(lane_c == jl, jnp.where(active, insv, 0), acc_i)
+        # diag consumes a query row; slot is preserved under the static
+        # schedule (offs[j] - offs[j-1] = 1): diag -> sel, del -> sel + 1
+        cur_new = jnp.clip(jnp.where(o == OP_DIAG, sel, sel + 1), 0, W - 1)
+        cur = jnp.where(active, jnp.broadcast_to(cur_new, (SUB, W)), cur)
+        return cur, acc, acc_i
+
+    acc0 = jnp.full((SUB, CBLK), OP_PAD, jnp.int32)
+    acc_i0 = jnp.zeros((SUB, CBLK), jnp.int32)
+    cur, acc, acc_i = jax.lax.fori_loop(0, CBLK, col_step,
+                                        (cur_ref[:, :], acc0, acc_i0))
+    cur_ref[:, :] = cur
+    cols_ref[:, :] = acc
+    insb_ref[:, :] = acc_i
+
+    @pl.when(jb == n_jb - 1)
+    def _final():
+        fslot_ref[:, :] = jnp.broadcast_to(cur[:, :1], (SUB, 128))
+
+
+def banded_backtrack_cols(dirs, la, lb, W: int, max_cols: int,
+                          interpret: bool = False):
+    """dirs [PB, MC, W] (static-schedule forward, enriched bytes) -> the
+    per-column encoding (cols, insb, lead) defined by banded.ops_to_cols.
+    Requires the static band schedule of banded_forward_pallas."""
+    PB, MC, Wd = dirs.shape
+    assert Wd == W and MC % CBLK_BT == 0 and MC >= max_cols
+    SUB = _pick_sub_bt(PB, W)
+    n_jb = MC // CBLK_BT
+    la = jnp.asarray(la, jnp.int32)
+    lb = jnp.asarray(lb, jnp.int32)
+    la_v = jnp.broadcast_to(la[:, None], (PB, 128))
+    lb_v = jnp.broadcast_to(lb[:, None], (PB, 128))
+    rev = lambda pb, jb: (pb, n_jb - 1 - jb)
+    kern = functools.partial(_backtrack_kernel, W=W, SUB=SUB)
+    cols, insb, fslot = pl.pallas_call(
+        kern,
+        grid=(PB // SUB, n_jb),
+        in_specs=[
+            pl.BlockSpec((SUB, CBLK_BT * W), rev),
+            pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
+            pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, CBLK_BT), rev),
+            pl.BlockSpec((SUB, CBLK_BT), rev),
+            pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((PB, MC), jnp.int32),
+            jax.ShapeDtypeStruct((PB, MC), jnp.int32),
+            jax.ShapeDtypeStruct((PB, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(dirs.reshape(PB, MC * W), la_v, lb_v)
+    ctr = W // 2 - (la - lb) // 2
+    lead = jnp.clip(fslot[:, 0] - ctr, 0, la)
+    return cols[:, :max_cols], insb[:, :max_cols], lead.astype(jnp.int32)

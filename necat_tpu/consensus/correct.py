@@ -362,7 +362,7 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
 
 def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
     for sel, res, qb, ws_sel, aq, at, live in results["chunks"]:
-        PB = int(res.left_ops.shape[0])
+        PB = int(res.left_cols.shape[0])
         n_real = len(sel)
         pair_row = np.full(PB, TB, np.int32)           # padding rows -> trash row
         pair_row[:n_real] = np.where(ok[sel] & live, rows[sel], TB)
@@ -376,8 +376,10 @@ def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
         args = (qb, jnp.asarray(aq), jnp.asarray(at_abs.astype(np.int32)),
                 jnp.asarray(pair_row), jnp.asarray(w), jnp.asarray(tsz))
         with timed("cns.scatter"):
-            weights, covten = tags_mod.scatter_pass(
-                weights, covten, res.right_ops, res.right_n, *args, reversed_part=False)
-            weights, covten = tags_mod.scatter_pass(
-                weights, covten, res.left_ops, res.left_n, *args, reversed_part=True)
+            weights, covten = tags_mod.scatter_pass_cols(
+                weights, covten, res.right_cols, res.right_lead, res.right_jc,
+                *args, reversed_part=False)
+            weights, covten = tags_mod.scatter_pass_cols(
+                weights, covten, res.left_cols, res.left_lead, res.left_jc,
+                *args, reversed_part=True)
     return weights, covten

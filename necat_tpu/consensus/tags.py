@@ -164,3 +164,112 @@ def scatter_pass(weights, coverage, ops, n_ops, qbatch, aq, at, pair_row,
     c = jnp.where(cov_ok, 1, 0)
     coverage = coverage.reshape(-1).at[lin_c.reshape(-1)].add(c.reshape(-1)).reshape(coverage.shape)
     return weights, coverage
+
+
+@functools.partial(jax.jit, static_argnames=("reversed_part",))
+def scatter_pass_cols(weights, coverage, cols, lead, jc, qbatch, aq, at,
+                      pair_row, pair_w, tsize, reversed_part: bool):
+    """Scatter one extension pass's tags from the PER-COLUMN encoding
+    (banded.ops_to_cols / pallas backtrack output) — no op strings.
+
+    Two passes, both D-independent:
+    * target axis [P, MC]: the delta-0 tag of every consumer column
+      (query base for DIAG, gap for DEL) + the coverage count;
+    * query axis [P, LQ]: every inserted query base, located by scattering
+      per-column run starts and flooding them right with cummax. A query
+      position qp then knows its column j, its column's start qstart and
+      cumulative consumption CQ, from which delta follows in closed form
+      (fwd: qp - qstart (+1 after DEL); rev: CQ - qp, since reversal flips
+      the insertion-run order — see scatter_pass reversed_part semantics).
+    """
+    P, MC = cols.shape
+    TBp1, D, _, Lt = weights.shape
+    LQ = qbatch.shape[1]
+    op = cols & 3
+    k = cols >> 5
+    jcol = jnp.arange(1, MC + 1, dtype=jnp.int32)[None, :]
+    notpad = op != OP_PAD
+    isdiag = (op == OP_DIAG) & notpad
+    isdel = (op == OP_DEL) & notpad
+    dq = jnp.where(isdiag, 1, 0) + jnp.where(notpad, k, 0)
+    CQ = lead[:, None] + jnp.cumsum(dq, axis=1)
+    trash = TBp1 - 1
+    okrow = pair_row < trash
+
+    # clipped query consumption (ins of column jc and later columns excluded)
+    selj = jnp.clip(jc - 1, 0, MC - 1)[:, None]
+    g = lambda x: jnp.take_along_axis(x, selj, axis=1)[:, 0]
+    qcons = jnp.where(jc > 0, g(CQ) - g(k), 0)
+
+    # ---------------- target-axis pass: delta-0 tags + coverage
+    active = notpad & (jcol <= jc[:, None])
+    qidx_diag = CQ - k - 1
+    if not reversed_part:
+        t_pos = at[:, None] + jcol - 1
+        q_abs = aq[:, None] + qidx_diag
+    else:
+        t_pos = at[:, None] - jcol
+        q_abs = aq[:, None] - 1 - qidx_diag
+    qb = jnp.take_along_axis(qbatch, jnp.clip(q_abs, 0, LQ - 1), axis=1).astype(jnp.int32)
+    base = jnp.where(isdel, GAP_CODE, qb)
+    ok0 = active & (t_pos >= 0) & (t_pos < tsize[:, None]) & okrow[:, None]
+    row = jnp.where(ok0, pair_row[:, None], trash)
+    t_safe = jnp.where(ok0, t_pos, 0)
+    b_safe = jnp.where(ok0, base, 0)
+    lin = ((row * D + 0) * 5 + b_safe) * Lt + t_safe
+    w = jnp.where(ok0, pair_w[:, None], 0.0)
+    weights = weights.reshape(-1).at[lin.reshape(-1)].add(w.reshape(-1)).reshape(weights.shape)
+    lin_c = row * Lt + t_safe
+    coverage = coverage.reshape(-1).at[lin_c.reshape(-1)].add(
+        jnp.where(ok0, 1, 0).reshape(-1)).reshape(coverage.shape)
+
+    # ---------------- query-axis pass: insertion tags (delta >= 1)
+    # run start of column j on the query axis (DIAG: its own qp; DEL: first
+    # ins qp); columns that consume no query scatter nothing
+    qstart = CQ - k - jnp.where(isdiag, 1, 0)
+    consumes = notpad & ((k > 0) | isdiag)
+    rows_p = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, MC))
+    qs_safe = jnp.clip(qstart, 0, LQ - 1)
+    linq = rows_p * LQ + qs_safe
+    def smax(vals, init):
+        buf = jnp.full(P * LQ, init, jnp.int32)
+        v = jnp.where(consumes, vals, init)
+        return buf.at[linq.reshape(-1)].max(v.reshape(-1)).reshape(P, LQ)
+    m_flag = smax((jcol << 1) | jnp.where(isdiag, 1, 0), -1)
+    m_qst = smax(qstart, -1)
+    m_cq = smax(CQ, -1)
+    # virtual column 0: the leading insertions (qstart 0, j 0, CQ lead)
+    haslead = (lead > 0)[:, None]
+    first = jnp.arange(LQ, dtype=jnp.int32)[None, :] == 0
+    m_flag = jnp.where(first & haslead & (m_qst != 0), 0, m_flag)
+    m_cq = jnp.where(first & haslead & (m_qst != 0), lead[:, None], m_cq)
+    m_qst = jnp.where(first & haslead & (m_qst != 0), 0, m_qst)
+    c_flag = jax.lax.cummax(m_flag, axis=1)
+    c_qst = jax.lax.cummax(m_qst, axis=1)
+    c_cq = jax.lax.cummax(m_cq, axis=1)
+    j_of = c_flag >> 1
+    diag_of = (c_flag & 1) == 1
+    qp = jnp.arange(LQ, dtype=jnp.int32)[None, :]
+    if not reversed_part:
+        delta = qp - c_qst + jnp.where(diag_of, 0, 1)
+        t_ins = at[:, None] + j_of - 1
+        q_abs_i = aq[:, None] + qp
+    else:
+        delta = c_cq - qp
+        t_ins = at[:, None] - j_of - 1
+        q_abs_i = aq[:, None] - 1 - qp
+    okq = (c_flag >= 0) & (qp < qcons[:, None]) & (delta >= 1) & (delta < D)
+    if reversed_part:
+        # a DIAG column's own query position is its delta-0 tag (already
+        # scattered in the target pass); its reversed delta formula gives k+1
+        okq &= ~(diag_of & (qp == c_qst))
+    okq &= (t_ins >= 0) & (t_ins < tsize[:, None]) & okrow[:, None]
+    qb_i = jnp.take_along_axis(qbatch, jnp.clip(q_abs_i, 0, LQ - 1), axis=1).astype(jnp.int32)
+    rowq = jnp.where(okq, pair_row[:, None], trash)
+    t_s = jnp.where(okq, t_ins, 0)
+    d_s = jnp.where(okq, delta, 0)
+    b_s = jnp.where(okq, qb_i, 0)
+    linw = ((rowq * D + d_s) * 5 + b_s) * Lt + t_s
+    wq = jnp.where(okq, pair_w[:, None], 0.0)
+    weights = weights.reshape(-1).at[linw.reshape(-1)].add(wq.reshape(-1)).reshape(weights.shape)
+    return weights, coverage

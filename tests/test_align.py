@@ -148,3 +148,35 @@ def test_pallas_kernel_matches_oracle_interpret():
         assert int(cost[i]) == oracle, f"pair {i}"
         assert ops_are_valid_alignment(ops[i], n_ops[i], a[i], la[i], b[i], lb[i])
         assert ops_cost(ops[i], n_ops[i], a[i], b[i]) == oracle
+
+
+def test_backtrack_cols_matches_ops_to_cols():
+    """The Pallas backtrack kernel (interpret) must emit exactly the
+    per-column encoding produced by banded_traceback + ops_to_cols."""
+    from necat_tpu.align.banded import ops_to_cols
+    from necat_tpu.align.pallas_banded import (banded_backtrack_cols,
+                                               banded_forward_pallas)
+
+    rng = np.random.default_rng(11)
+    em = simulate.ErrorModel(sub=0.05, ins=0.06, dele=0.05)
+    PB, L, W = 8, 512, 64
+    a = np.zeros((PB, L), np.uint8)
+    b = np.zeros((PB, L), np.uint8)
+    la = np.zeros(PB, np.int32)
+    lb = np.zeros(PB, np.int32)
+    for i in range(PB):
+        t = rng.integers(0, 4, int(rng.integers(250, 480))).astype(np.uint8)
+        q = simulate.mutate(t, em, rng)[:L]
+        a[i, :len(q)] = q; la[i] = len(q)
+        b[i, :len(t)] = t; lb[i] = len(t)
+    # pair 0: leading query overhang (la > lb + path) to exercise `lead`
+    dirs, offs, _, _ = banded_forward_pallas(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(la), jnp.asarray(lb),
+        W, L, interpret=True)
+    ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(lb), 2 * L)
+    cols0, insb0, lead0 = ops_to_cols(ops, n_ops, jnp.asarray(a), jnp.asarray(b), MC=L)
+    cols1, insb1, lead1 = banded_backtrack_cols(
+        dirs, jnp.asarray(la), jnp.asarray(lb), W, max_cols=L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(lead0), np.asarray(lead1))
+    np.testing.assert_array_equal(np.asarray(cols0), np.asarray(cols1))
+    np.testing.assert_array_equal(np.asarray(insb0), np.asarray(insb1))

@@ -150,3 +150,49 @@ def test_correction_end_to_end_small():
         idents.append(simulate.identity_to_genome(seq, genome, a, 0, b - a))
     assert len(idents) >= 5
     assert np.mean(idents) >= 93.0, f"mean corrected identity {np.mean(idents):.2f}"
+
+
+def test_scatter_pass_cols_matches_scatter_pass():
+    """The per-column scatter must reproduce the op-string scatter exactly
+    (both directions), given the same clipped alignments."""
+    from necat_tpu.align.banded import (banded_forward, banded_traceback,
+                                        clip_tail, cols_clip_stats, ops_to_cols)
+
+    rng = np.random.default_rng(3)
+    em = simulate.ErrorModel(sub=0.05, ins=0.06, dele=0.05)
+    P, L, W, D = 4, 512, 64, 8
+    TB, Lt = 2, 600
+    a = np.zeros((P, L), np.uint8)
+    b = np.zeros((P, L), np.uint8)
+    la = np.zeros(P, np.int32)
+    lb = np.zeros(P, np.int32)
+    for i in range(P):
+        t = rng.integers(0, 4, int(rng.integers(250, 480))).astype(np.uint8)
+        q = simulate.mutate(t, em, rng)[:L]
+        a[i, :len(q)] = q; la[i] = len(q)
+        b[i, :len(t)] = t; lb[i] = len(t)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    dirs, offs, _, _ = banded_forward(aj, bj, jnp.asarray(la), jnp.asarray(lb), W, max_cols=L)
+    ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(lb), 2 * L)
+    n_clip, _ = clip_tail(ops, n_ops, aj, bj)
+    cols, _insb, lead = ops_to_cols(ops, n_ops, aj, bj, MC=L)
+    st = cols_clip_stats(cols, lead, aj, bj)
+
+    pair_row = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    pair_w = jnp.asarray(np.array([1.0, 0.5, 0.75, 0.25], np.float32))
+    tsize = jnp.full((P,), Lt, jnp.int32)
+    for reversed_part, aq_np, at_np in [
+            (False, np.zeros(P, np.int32), np.full(P, 3, np.int32)),
+            (True, la.copy(), lb.copy() + 3)]:
+        aq, at = jnp.asarray(aq_np), jnp.asarray(at_np)
+        w0 = jnp.zeros((TB + 1, D, 5, Lt), jnp.float32)
+        c0 = jnp.zeros((TB + 1, Lt), jnp.int32)
+        w_old, c_old = tags_mod.scatter_pass(
+            w0, c0, ops, n_clip, aj, aq, at, pair_row, pair_w, tsize,
+            reversed_part=reversed_part)
+        w_new, c_new = tags_mod.scatter_pass_cols(
+            w0, c0, cols, lead, st["jc"], aj, aq, at, pair_row, pair_w, tsize,
+            reversed_part=reversed_part)
+        np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_new))
+        np.testing.assert_allclose(np.asarray(w_old), np.asarray(w_new),
+                                   rtol=0, atol=1e-6)
