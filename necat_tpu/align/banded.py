@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF = jnp.int32(1 << 20)
+# np scalar, not jnp: a module-level jnp constant would initialise the XLA
+# backend at import time and break jax.distributed.initialize (launcher.py)
+INF = np.int32(1 << 20)
 OP_DIAG, OP_DEL, OP_INS, OP_PAD = 0, 1, 2, 3
 TAIL_MATCH = 8  # kOcaMatCnt (oc_aligner.c:9)
 

@@ -110,22 +110,31 @@ def correct_reads(
     min_cov_for_template: int | None = None,
     emit_uncorrected: bool = True,
     verbose: bool = False,
+    template_ids=None,
 ) -> List[CnsRecord]:
     """Correct all templates that have candidates. `cands` must already be
-    role-expanded (each overlap present for both reads as templates)."""
+    role-expanded (each overlap present for both reads as templates).
+
+    `template_ids` restricts the work to a subset of read ids (a host's stripe
+    in multi-host runs — the role of the reference's `-mn node_id num_nodes`
+    partition striding, src/consensus/main.c:71-73); both corrected output and
+    the uncorrected passthrough are limited to the stripe so that the union of
+    all stripes is exactly the single-host output."""
     groups = group_by_template(cands, opts.max_examined)
     min_need = opts.min_cov if min_cov_for_template is None else min_cov_for_template
+    stripe = None if template_ids is None else set(int(t) for t in template_ids)
 
     tids_all = np.array(sorted(groups.keys()), dtype=np.int64)
     # drop templates with fewer candidates than min coverage (consensus_one_read.c:218)
-    tids_all = np.array([t for t in tids_all if len(groups[t]) >= min_need], dtype=np.int64)
+    tids_all = np.array([t for t in tids_all if len(groups[t]) >= min_need
+                         and (stripe is None or t in stripe)], dtype=np.int64)
     records: List[CnsRecord] = []
 
     # uncorrected passthrough for reads with no/insufficient candidates
     if emit_uncorrected:
         have = set(tids_all.tolist())
         for r in range(store.n_reads):
-            if r not in have:
+            if r not in have and (stripe is None or r in stripe):
                 records.append(CnsRecord(tid=r, left=0, right=int(store.lengths[r]),
                                          org_size=int(store.lengths[r]),
                                          seq=store.get(r), corrected=False))

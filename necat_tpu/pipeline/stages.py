@@ -29,6 +29,7 @@ from necat_tpu.overlap.candidates import Candidates
 from necat_tpu.overlap.m4 import M4Records
 from necat_tpu.overlap.options import MapOptions
 from necat_tpu.overlap.overlapper import find_all_candidates, overlap_all_vs_all
+from necat_tpu.parallel import launcher
 from necat_tpu.pipeline.config import Config
 from necat_tpu.polish.polish import PolishOptions, polish_contigs
 from necat_tpu.trim.lcr import TrimOptions, trim_reads
@@ -44,8 +45,15 @@ def _fingerprint(paths: List[str]) -> str:
 
 
 def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
-           params: dict, fn: Callable[[], None]) -> bool:
-    """Run fn unless outputs are up to date. Returns True if it ran."""
+           params: dict, fn: Callable[[], None],
+           coordinator_only: bool = False) -> bool:
+    """Run fn unless outputs are up to date. Returns True if it ran.
+
+    In multi-host runs (parallel/launcher.py), `coordinator_only` stages execute
+    fn on process 0 while the others wait at the barrier; striped stages run fn
+    on every host (fn itself stripes the work) and the manifest write is still
+    coordinator-gated. Both ends with a barrier so downstream stages can read
+    the outputs from the shared filesystem on any host."""
     os.makedirs(workdir, exist_ok=True)
     done_path = os.path.join(workdir, f"{name}.done.json")
     fp = _fingerprint(ifiles)
@@ -60,9 +68,13 @@ def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
             pass
     logger.info("stage %s: running", name)
     t0 = time.time()
-    fn()
-    json.dump({"input_fp": fp, "params": pjson, "rc": 0,
-               "wall_s": round(time.time() - t0, 1)}, open(done_path, "w"))
+    if not coordinator_only or launcher.is_coordinator():
+        fn()
+    launcher.barrier(f"stage:{name}")
+    if launcher.is_coordinator():
+        json.dump({"input_fp": fp, "params": pjson, "rc": 0,
+                   "wall_s": round(time.time() - t0, 1)}, open(done_path, "w"))
+    launcher.barrier(f"stage:{name}:done")
     logger.info("stage %s: done in %.1fs", name, time.time() - t0)
     return True
 
@@ -107,6 +119,7 @@ class Project:
         ifiles = _read_input_list(cfg)
 
         def fn():
+            pid, nproc = launcher.init_multihost()
             reads = load_raw_reads(cfg)
             # prep: longest reads to PREP_OUTPUT_COVERAGE (runCnsPrepare)
             if cfg.genome_size > 0:
@@ -118,9 +131,30 @@ class Project:
                             it + 1, cfg.num_iter, cur.n_reads)
                 cands = find_all_candidates(cur, cur, MapOptions(), pairwise=True)
                 call = Candidates.concat([cands, cands.swap_roles()])
-                recs = correct_reads(cur, call, CnsOptions())
+                stripe = (launcher.host_stripe(cur.n_reads, pid, nproc)
+                          if nproc > 1 else None)
+                recs = correct_reads(cur, call, CnsOptions(), template_ids=stripe)
+                recs.sort(key=lambda r: (r.tid, r.left))  # oc2ReorderCnsReads role
                 seqs = [r.seq for r in recs]
                 names = [f"{r.tid}_{r.left}_{r.right}_{r.org_size}" for r in recs]
+                if nproc > 1:
+                    # shared-filesystem exchange of per-host stripes (the role of
+                    # the reference's per-node cns partial files merged by
+                    # oc2ReorderCnsReads): every host writes its part, then all
+                    # hosts reload the union sorted back into (tid, left) order
+                    # so multi-host output is bit-identical to single-host.
+                    ReadStore.from_seqs(seqs, names).to_fasta(
+                        os.path.join(wd, f"it{it}.part{pid}.fasta.gz"))
+                    launcher.barrier(f"correct:it{it}")
+                    parts = [ReadStore.from_fasta(
+                        os.path.join(wd, f"it{it}.part{p}.fasta.gz"))
+                        for p in range(nproc)]
+                    seqs = [s.get(i) for s in parts for i in range(s.n_reads)]
+                    names = [n for s in parts for n in s.names]
+                    order = sorted(range(len(names)),
+                                   key=lambda i: tuple(map(int, names[i].split("_")[:2])))
+                    seqs = [seqs[i] for i in order]
+                    names = [names[i] for i in order]
                 cur = ReadStore.from_seqs(seqs, names)
             # extract longest corrected to CNS_OUTPUT_COVERAGE (runCnsExtract)
             if cfg.genome_size > 0:
@@ -148,7 +182,7 @@ class Project:
             trimmed.to_fasta(out)
             logger.info("trimmed: %d/%d reads kept", trimmed.n_reads, reads.n_reads)
 
-        _stage(wd, "trim", [cns], [out], {}, fn)
+        _stage(wd, "trim", [cns], [out], {}, fn, coordinator_only=True)
         return out
 
     def run_assemble(self) -> str:
@@ -178,7 +212,7 @@ class Project:
             logger.info("contigs: %d, total %d, N50 %d",
                         res.contigs.n_reads, res.contigs.total_bases, n50)
 
-        _stage(wd, "assemble", [trimmed_path], [out], {}, fn)
+        _stage(wd, "assemble", [trimmed_path], [out], {}, fn, coordinator_only=True)
         return out
 
     def run_bridge(self) -> str:
@@ -194,7 +228,7 @@ class Project:
             bridged = bridge_contigs(contigs, reads)
             bridged.to_fasta(out)
 
-        _stage(wd, "bridge", [ctg_path], [out], {}, fn)
+        _stage(wd, "bridge", [ctg_path], [out], {}, fn, coordinator_only=True)
         return out
 
     def run_polish(self, ctg_path: str, tag: str) -> str:
@@ -202,9 +236,26 @@ class Project:
         out = self.path(f"polished_contigs.fasta" if tag == "final" else f"{tag}_polished.fasta")
 
         def fn():
+            pid, nproc = launcher.init_multihost()
             contigs = ReadStore.from_fasta(ctg_path)
             reads = load_raw_reads(self.cfg)
-            pol = polish_contigs(contigs, reads)
+            if nproc > 1:
+                # stripe contigs across hosts (the reference polishes per-contig
+                # partitions per grid job); merge back in original contig order.
+                stripe = launcher.host_stripe(contigs.n_reads, pid, nproc)
+                part = polish_contigs(contigs.subset(stripe), reads)
+                part.to_fasta(os.path.join(wd, f"part{pid}.fasta.gz"))
+                launcher.barrier("polish:parts")
+                if not launcher.is_coordinator():
+                    return
+                parts = [ReadStore.from_fasta(os.path.join(wd, f"part{p}.fasta.gz"))
+                         for p in range(nproc)]
+                by_name = {s.names[i]: s.get(i) for s in parts
+                           for i in range(s.n_reads)}
+                names = [f"{n}_polished" for n in contigs.names]
+                pol = ReadStore.from_seqs([by_name[n] for n in names], names)
+            else:
+                pol = polish_contigs(contigs, reads)
             pol.to_fasta(out)
             n50, _ = pol.n50()
             logger.info("polished: %d contigs, total %d, N50 %d",

@@ -9,6 +9,8 @@ oc2slstats / oc2pprr / oc2slr command families.
   python -m necat_tpu.pipeline.tools preprocess <in> <out> [min_length]  # oc2pprr
   python -m necat_tpu.pipeline.tools simulate <out> <genome_size> <coverage> [seed]  # oc2slr-style
   python -m necat_tpu.pipeline.tools m4topaf <in.m4[.gz]> <out.paf>
+  python -m necat_tpu.pipeline.tools split_name <in> <out_prefix> <n_parts>
+  python -m necat_tpu.pipeline.tools check   <reads.fa[.gz]>
 
 (reference: src/fsa/read_tools.cpp:26-41 Running, src/fsa/read_stat.cpp:30-45,
 src/fsa/read_extract.cpp:34-152, src/sequence_length_stats/main.c,
@@ -103,6 +105,33 @@ def cmd_simulate(args):
     print(f"wrote {len(reads)} reads")
 
 
+def cmd_split_name(args):
+    """fsa_rd_tools split_name: partition reads into n parts and write the NAME
+    lists (read_tools.cpp SplitName); part files are <prefix>.<i>.txt."""
+    inp, prefix, n = args[0], args[1], int(args[2])
+    rs = ReadStore.from_fasta(inp)
+    per = -(-rs.n_reads // n)
+    for i in range(n):
+        lo, hi = i * per, min((i + 1) * per, rs.n_reads)
+        with open(f"{prefix}.{i}.txt", "w") as f:
+            for j in range(lo, hi):
+                f.write(rs.names[j] + "\n")
+    print(f"wrote {n} name lists")
+
+
+def cmd_check(args):
+    """fsa_rd_tools check: validate that a FASTA/FASTQ parses, has unique names
+    and only ACGTN bases (read_tools.cpp Check role)."""
+    rs = ReadStore.from_fasta(args[0])
+    dup = len(rs.names) - len(set(rs.names))
+    bad = int((rs.bases > 3).sum())
+    ok = dup == 0 and bad == 0
+    print(f"reads\t{rs.n_reads}\nduplicate_names\t{dup}\nnon_acgt_codes\t{bad}\n"
+          f"status\t{'OK' if ok else 'FAIL'}")
+    if not ok:
+        raise SystemExit(1)
+
+
 def cmd_m4topaf(args):
     m4 = M4Records.load(args[0])
     with open(args[1], "w") as f:
@@ -123,6 +152,7 @@ COMMANDS = {
     "n50": cmd_n50, "stats": cmd_stats, "longest": cmd_longest,
     "split": cmd_split, "extract": cmd_extract, "preprocess": cmd_preprocess,
     "simulate": cmd_simulate, "m4topaf": cmd_m4topaf,
+    "split_name": cmd_split_name, "check": cmd_check,
 }
 
 
