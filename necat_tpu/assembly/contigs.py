@@ -93,15 +93,40 @@ def assemble(
     min_contig_length: int = 500,
     max_spur_length: int = 50000,
     select_branch: str = "no",
+    dump_dir: str | None = None,
 ) -> AssemblyResult:
     """Overlap filter -> string graph -> path graph -> contigs
-    (fsa_ol_filter + fsa_assemble)."""
+    (fsa_ol_filter + fsa_assemble). `dump_dir` writes inspection snapshots
+    like the reference's `fsa_assemble --dump` path_graph_{0..3}.txt
+    (assembly.cpp:126-146) and fsa_ol_filter's filtered-reads dump
+    (overlap_filter.hpp:162-167)."""
     fres = filter_overlaps(m4, store.n_reads, filter_opts)
+    if dump_dir:
+        import os as _os
+
+        _os.makedirs(dump_dir, exist_ok=True)
+        with open(_os.path.join(dump_dir, "filtered_reads.txt"), "w") as f:
+            for r in np.flatnonzero(fres.filtered_reads):
+                f.write(f"{r}\n")
     g = StringGraph.from_overlaps(fres.m4, store.lengths, max_overhang=fres.max_overhang)
+
+    def _dump_graph(tag):
+        if not dump_dir:
+            return
+        import os as _os
+
+        with open(_os.path.join(dump_dir, f"string_graph_{tag}.txt"), "w") as f:
+            for (u, v), a in sorted(g.arcs.items()):
+                f.write(f"{u}\t{v}\t{a.reduced or 'active'}\n")
+
+    _dump_graph(0)
     g.mark_transitive_edges()
+    _dump_graph(1)
     g.mark_spur_edges()
     g.mark_best_overlap()
+    _dump_graph(2)
     g.mark_spur_edges()
+    _dump_graph(3)
     pg = PathGraph.from_string_graph(g)
     paths = pg.run_passes(max_spur_length=max_spur_length,
                           select_branch=select_branch)

@@ -51,6 +51,75 @@ def call_consensus(weights, coverage, min_cov, ins_frac, ins_offset=1.0):
     return emit.transpose(0, 2, 1), base.transpose(0, 2, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("SL",))
+def consensus_stream(weights, coverage, min_cov, ins_frac, ins_offset, SL: int):
+    """call_consensus + device-side compaction. Returns
+    (stream u8[TB, SL], cum_t i32[TB, L], n_emit i32[TB]): stream holds the
+    emitted bases in (t asc, delta asc) order; cum_t[b, t] counts emitted
+    entries through column t, so a host piece (s, e) is
+    stream[b, cum_t[s-1]:cum_t[e-1]]. Exists because shipping the raw
+    emit/base tensors ([TB, L, D] x2) through a remote-attached device link
+    (~12 MB/s observed d2h) dominated the consensus stage; the stream is
+    ~D x smaller. n_emit > SL flags overflow (host falls back to the dense
+    path for that bucket)."""
+    emit, base = call_consensus(weights, coverage, min_cov, ins_frac, ins_offset)
+    TB, L, D = emit.shape
+    em = emit.reshape(TB, L * D)
+    idx = jnp.cumsum(em, axis=1, dtype=jnp.int32) - 1
+    tgt = jnp.where(em & (idx < SL), idx, SL)
+
+    def one(t, b):
+        return jnp.zeros(SL, jnp.uint8).at[t].set(b, mode="drop")
+
+    stream = jax.vmap(one)(tgt, base.reshape(TB, L * D))
+    cum_t = jnp.cumsum(emit.sum(axis=2, dtype=jnp.int32), axis=1)
+    n_emit = idx[:, -1] + 1
+    cov8 = jnp.minimum(coverage, 255).astype(jnp.uint8)  # only >= min_cov is used
+    return stream, cum_t, n_emit, cov8
+
+
+def compact_from_stream(
+    stream: np.ndarray,    # uint8[TB, SL] (host)
+    cum_t: np.ndarray,     # int32[TB, L]
+    coverage: np.ndarray,  # int[TB, L]
+    tlens: np.ndarray,
+    templates: np.ndarray,
+    min_cov: int,
+    min_size: int,
+    raw_min_gap: int,
+) -> List[Tuple[List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]]]:
+    """Host side of consensus_stream: identical output to compact_consensus."""
+    TB = stream.shape[0]
+    out = []
+    for b in range(TB):
+        n = int(tlens[b])
+        cov = coverage[b, :n] >= min_cov
+        cns_pieces: List[Tuple[int, int, np.ndarray]] = []
+        raw_pieces: List[Tuple[int, int, np.ndarray]] = []
+        if n == 0:
+            out.append((cns_pieces, raw_pieces))
+            continue
+        dif = np.diff(np.r_[0, cov.astype(np.int8), 0])
+        starts = np.flatnonzero(dif == 1)
+        ends = np.flatnonzero(dif == -1)
+        for s, e in zip(starts, ends):
+            if e - s < min_size:
+                continue
+            lo = int(cum_t[b, s - 1]) if s > 0 else 0
+            hi = int(cum_t[b, e - 1])
+            seq = stream[b, lo:hi]
+            if len(seq) >= min_size:
+                cns_pieces.append((int(s), int(e), seq.astype(np.uint8)))
+        kept = [(s, e) for (s, e, _) in cns_pieces]
+        prev = 0
+        for s, e in kept + [(n, n)]:
+            if s - prev >= raw_min_gap:
+                raw_pieces.append((prev, s, templates[b, prev:s].astype(np.uint8)))
+            prev = max(prev, e)
+        out.append((cns_pieces, raw_pieces))
+    return out
+
+
 def compact_consensus(
     emit: np.ndarray,      # bool[TB, L, D]
     base: np.ndarray,      # uint8[TB, L, D]

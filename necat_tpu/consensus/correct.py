@@ -22,7 +22,8 @@ import numpy as np
 
 from necat_tpu.align.banded import extend_batch
 from necat_tpu.consensus import tags as tags_mod
-from necat_tpu.consensus.backbone import call_consensus, compact_consensus
+from necat_tpu.consensus.backbone import (call_consensus, compact_consensus,
+                                          compact_from_stream, consensus_stream)
 from necat_tpu.consensus.options import CnsOptions
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates
@@ -172,6 +173,7 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
                 for b, t in enumerate(tb_ids)]
 
     round_id = 0
+    from necat_tpu.utils.logging import timed as _timed
     if opts.use_fixed_ident_cutoff:
         cutoff[:] = 100.0 * (1.0 - opts.error)
         round_id = 1  # no estimation round (consensus_one_read.c:273-278)
@@ -179,6 +181,8 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     while round_id <= max_rounds:
         wave = (opts.n_ident + 10) if round_id == 0 else opts.wave_size
         # build pair list for this round
+        _tb = __import__('time').perf_counter
+        _t0 = _tb()
         rows, cidx = [], []
         for b in range(TB):
             idxs = cand_idx[b]
@@ -210,9 +214,12 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
             break
         rows = np.array(rows)
         cidx = np.array(cidx)
+        from necat_tpu.utils import logging as _lg
+        _lg._TIMERS['cns.wave_build'] += _tb() - _t0; _lg._COUNTS['cns.wave_build'] += 1
 
         # extension in query-length-bucketed chunks
-        results = _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts)
+        with _timed('cns.extend_pairs_total'):
+            results = _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts)
 
         # round 0: estimate identity cutoffs
         if round_id == 0:
@@ -246,20 +253,32 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
         ok &= pass_ident
 
         # scatter accepted tags
-        weights, covten = _scatter_round(results, rows, ok, weights, covten, tlens_np, TB)
+        with _timed('cns.scatter_round_total'):
+            weights, covten = _scatter_round(results, rows, ok, weights, covten, tlens_np, TB)
         for i in np.flatnonzero(ok):
             b = rows[i]
             cov_host[b, tl[i]:tr[i]] += 1
         round_id += 1
 
-    # consensus call + compaction
+    # consensus call + compaction (device compaction; the dense emit/base
+    # tensors never leave the device unless the stream buffer overflows)
+    SL = Lt + max(1024, Lt // 8)
     with timed("cns.call_consensus"):
-        emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac,
-                                    opts.ins_offset)
+        stream, cum_t, n_emit, cov8 = consensus_stream(
+            weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac,
+            opts.ins_offset, SL=SL)
     with timed("cns.compact"):
-        pieces = compact_consensus(np.asarray(emit), np.asarray(base), np.asarray(covten[:TB]),
-                                   tlens_np, tbatch_np, opts.min_cov, opts.min_size,
-                                   opts.raw_min_gap)
+        n_emit = np.asarray(n_emit)
+        if np.any(n_emit > SL):  # pathological insert volume: dense fallback
+            emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov,
+                                        opts.ins_frac, opts.ins_offset)
+            pieces = compact_consensus(np.asarray(emit), np.asarray(base),
+                                       np.asarray(covten[:TB]), tlens_np, tbatch_np,
+                                       opts.min_cov, opts.min_size, opts.raw_min_gap)
+        else:
+            pieces = compact_from_stream(np.asarray(stream), np.asarray(cum_t),
+                                         np.asarray(cov8), tlens_np, tbatch_np,
+                                         opts.min_cov, opts.min_size, opts.raw_min_gap)
     records = []
     for b, (cns_p, raw_p) in enumerate(pieces):
         if b >= n_real_templates:
@@ -295,14 +314,21 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
         tier = np.array([_bucket_len(int(max(qsizes[p], wlen[p]))) for p in pair_idx])
         order = pair_idx[np.lexsort((qsizes[pair_idx], tier))]
         tier_of = dict(zip(pair_idx.tolist(), tier.tolist()))
+        # phase 1: build + dispatch every chunk (async) so the device pipelines
+        # chunk k+1's transfer/compute under chunk k's execution; syncing after
+        # each dispatch would serialize host build time with device time
+        pending = []
         cs = 0
         while cs < len(order):
             L = tier_of[int(order[cs])]
-            PB = min(shapes.pairs_per_chunk(L, W), opts.pairs_per_chunk)
-            sel = order[cs:cs + PB]
+            PBmax = min(shapes.pairs_per_chunk(L, W), opts.pairs_per_chunk)
+            sel = order[cs:cs + PBmax]
             sel = sel[[tier_of[int(p)] == L for p in sel]]  # keep single-tier
             cs += len(sel)
             n_real = len(sel)
+            # pair dim snapped to the next power of two (>=32): waves rarely
+            # fill PBmax, and full-width padding cost ~2x measured occupancy
+            PB = min(PBmax, max(32, 1 << (n_real - 1).bit_length()))
             with timed("cns.chunk_build"):
                 qb = np.zeros((PB, L), np.uint8)
                 tb = np.zeros((PB, L), np.uint8)
@@ -323,9 +349,16 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
                 res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
                                    jnp.asarray(tb), jnp.asarray(tlens),
                                    jnp.asarray(aq), jnp.asarray(at), W=W)
+            pending.append((sel, res, qb, n_real, aq, at))
+        # phase 2: collect
+        for sel, res, qb, n_real, aq, at in pending:
             with timed("cns.stats_sync"):
                 st = np.asarray(res.stats)          # single host transfer: [6, PB]
             r = slice(0, n_real)
+            # ident recomputed on host from the packed stats (n_match/n_cols)
+            # to avoid a second device->host sync per chunk
+            ident = np.where(st[4, r] > 0,
+                             100.0 * st[5, r] / np.maximum(st[4, r], 1), 0.0)
             live = np.full(n_real, live_default)
             chunk_i = len(out["chunks"])
             if not live_default:
@@ -344,7 +377,7 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
                 out["toff"][upd] = st[2, ur] + ws[upd]
                 out["tend"][upd] = st[3, ur] + ws[upd]
                 out["n_cols"][upd] = st[4, ur]
-                out["ident"][upd] = np.asarray(res.ident)[ur]
+                out["ident"][upd] = ident[ur]
             else:
                 for k, p in enumerate(sel):
                     lane_of[int(p)] = (chunk_i, k)
@@ -353,7 +386,7 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
                 out["toff"][sel] = st[2, r] + ws[sel]
                 out["tend"][sel] = st[3, r] + ws[sel]
                 out["n_cols"][sel] = st[4, r]
-                out["ident"][sel] = np.asarray(res.ident)[r]
+                out["ident"][sel] = ident
             out["chunks"].append([sel, res, jnp.asarray(qb), ws[sel],
                                   aq.copy(), at.copy(), live])
 
@@ -376,7 +409,7 @@ def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
         pair_row = np.full(PB, TB, np.int32)           # padding rows -> trash row
         pair_row[:n_real] = np.where(ok[sel] & live, rows[sel], TB)
         w = np.zeros(PB, np.float32)
-        w[:n_real] = np.asarray(tags_mod.calc_cns_weight(results["ident"][sel]))
+        w[:n_real] = tags_mod.calc_cns_weight(results["ident"][sel])
         tsz = np.zeros(PB, np.int32)
         tsz[:n_real] = tlens_np[rows[sel]]
         # window-local anchors; tags use ABSOLUTE template coords

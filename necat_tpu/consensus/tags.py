@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS, OP_PAD
@@ -100,10 +101,15 @@ def _scatter_tags(weights, coverage, ops, n_ops, qbatch, qoff, toff,
 
 
 def calc_cns_weight(ident_perc):
-    """Per-overlap consensus weight (consensus_one_read.c:11-16)."""
+    """Per-overlap consensus weight (consensus_one_read.c:11-16).
+
+    Host-side numpy on purpose: inputs are small ragged host arrays, and a jnp
+    version would recompile for every chunk length (measured 1s/chunk through
+    the device tunnel)."""
+    ident_perc = np.asarray(ident_perc, np.float64)
     e = (100.0 - ident_perc) / 100.0 / 2.0
     w = (1.0 - e) * (1.0 - e) + e * e / 3.0
-    return jnp.where(100.0 - ident_perc <= 1e-6, 1.0, w)
+    return np.where(100.0 - ident_perc <= 1e-6, 1.0, w).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("reversed_part",))

@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     else:
         print(f"unknown command {cmd!r}")
         return 1
+    if cfg.get("CLEANUP", "0") in ("1", "true"):
+        prj.cleanup()
     logger.info("final output: %s", out)
     print(out)
     return 0

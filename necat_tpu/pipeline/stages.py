@@ -44,6 +44,11 @@ def _fingerprint(paths: List[str]) -> str:
     return h.hexdigest()[:16]
 
 
+# bounded retry budget for a failing stage (the reference retries failed grid
+# scripts with a global MAX_SCRIPT_ERROR error budget, Plgd/Project.pm:222-244)
+MAX_STAGE_ERROR = int(os.environ.get("NECAT_TPU_MAX_STAGE_ERROR", "3"))
+
+
 def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
            params: dict, fn: Callable[[], None],
            coordinator_only: bool = False) -> bool:
@@ -53,7 +58,11 @@ def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
     fn on process 0 while the others wait at the barrier; striped stages run fn
     on every host (fn itself stripes the work) and the manifest write is still
     coordinator-gated. Both ends with a barrier so downstream stages can read
-    the outputs from the shared filesystem on any host."""
+    the outputs from the shared filesystem on any host.
+
+    A failing fn is retried up to MAX_STAGE_ERROR times (Project.pm:222-244
+    semantics); NECAT_TPU_PROFILE=<dir> wraps each stage in a jax.profiler
+    trace (the TIMING_START/END role, ontcns_aux.h:107-116)."""
     os.makedirs(workdir, exist_ok=True)
     done_path = os.path.join(workdir, f"{name}.done.json")
     fp = _fingerprint(ifiles)
@@ -69,7 +78,26 @@ def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
     logger.info("stage %s: running", name)
     t0 = time.time()
     if not coordinator_only or launcher.is_coordinator():
-        fn()
+        prof_dir = os.environ.get("NECAT_TPU_PROFILE")
+        attempts = 0
+        while True:
+            try:
+                if prof_dir:
+                    import jax
+
+                    with jax.profiler.trace(os.path.join(prof_dir, name)):
+                        fn()
+                else:
+                    fn()
+                break
+            except Exception:
+                attempts += 1
+                if attempts >= MAX_STAGE_ERROR:
+                    logger.error("stage %s: failed %d times, giving up",
+                                 name, attempts)
+                    raise
+                logger.warning("stage %s: attempt %d failed, retrying",
+                               name, attempts, exc_info=True)
     launcher.barrier(f"stage:{name}")
     if launcher.is_coordinator():
         json.dump({"input_fp": fp, "params": pjson, "rc": 0,
@@ -230,6 +258,22 @@ class Project:
 
         _stage(wd, "bridge", [ctg_path], [out], {}, fn, coordinator_only=True)
         return out
+
+    def cleanup(self) -> None:
+        """CLEANUP=1: delete intermediate files after a successful run (the
+        reference's mfiles deletion, Plgd/Project.pm:168-170). Stage outputs
+        and .done manifests are kept so resume still works."""
+        import glob
+
+        patterns = ["1-consensus/it*.part*.fasta.gz", "4-fsa/pm.m4.gz",
+                    "*-polish/part*.fasta.gz"]
+        for pat in patterns:
+            for p in glob.glob(self.path(pat)):
+                try:
+                    os.remove(p)
+                    logger.info("cleanup: removed %s", p)
+                except OSError:
+                    pass
 
     def run_polish(self, ctg_path: str, tag: str) -> str:
         wd = self.path(f"{tag}-polish")

@@ -120,3 +120,30 @@ def test_assembly_end_to_end():
     # tiles sanity
     assert len(res.tiles[0]) >= 2
     assert res.tiles[0][0].ctg_start == 0
+
+
+def test_assemble_dump_snapshots(tmp_path):
+    """--dump role: graph snapshots + filtered reads (assembly.cpp:126-146)."""
+    from necat_tpu.assembly.contigs import assemble
+    from necat_tpu.assembly.overlap_filter import FilterOptions
+    from necat_tpu.io import simulate
+    from necat_tpu.io.readstore import ReadStore
+    from necat_tpu.overlap.options import MapOptions
+    from necat_tpu.overlap.overlapper import overlap_all_vs_all
+
+    genome = simulate.random_genome(20000, seed=2)
+    reads, st, sd, ln = simulate.simulate_reads(
+        genome, coverage=8, mean_len=4000, min_len=2500, max_len=6000, seed=4,
+        em=simulate.ErrorModel(sub=0.01, ins=0.01, dele=0.01))
+    rs = ReadStore.from_seqs(reads)
+    m4 = overlap_all_vs_all(rs, MapOptions(kmer_size=13, max_hits=1 << 19,
+                                           max_pairs=4096, ncan=100))
+    d = tmp_path / "dump"
+    res = assemble(rs, m4, FilterOptions(), dump_dir=str(d))
+    for tag in range(4):
+        assert (d / f"string_graph_{tag}.txt").exists()
+    assert (d / "filtered_reads.txt").exists()
+    # later snapshots only ever reduce more arcs
+    def actives(p):
+        return sum(1 for line in open(p) if line.strip().endswith("active"))
+    assert actives(d / "string_graph_0.txt") >= actives(d / "string_graph_3.txt")

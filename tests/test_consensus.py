@@ -196,3 +196,32 @@ def test_scatter_pass_cols_matches_scatter_pass():
         np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_new))
         np.testing.assert_allclose(np.asarray(w_old), np.asarray(w_new),
                                    rtol=0, atol=1e-6)
+
+
+def test_consensus_stream_matches_dense_compaction():
+    rng = np.random.default_rng(9)
+    TB, L, D = 4, 256, 8
+    w = rng.random((TB, D, 5, L)).astype(np.float32) * 3
+    cov = rng.integers(0, 12, (TB, L)).astype(np.int32)
+    tlens = np.array([256, 200, 128, 0], np.int32)
+    templates = rng.integers(0, 4, (TB, L)).astype(np.uint8)
+    from necat_tpu.consensus.backbone import (compact_consensus, compact_from_stream,
+                                              consensus_stream)
+    emit, base = call_consensus(jnp.asarray(w), jnp.asarray(cov), 4, 0.3, 1.0)
+    dense = compact_consensus(np.asarray(emit), np.asarray(base), cov,
+                              tlens, templates, 4, 20, 50)
+    SL = L + max(1024, L // 8)
+    stream, cum_t, n_emit, cov8 = consensus_stream(jnp.asarray(w), jnp.asarray(cov),
+                                                   4, 0.3, 1.0, SL=SL)
+    assert not np.any(np.asarray(n_emit) > SL)
+    fast = compact_from_stream(np.asarray(stream), np.asarray(cum_t), np.asarray(cov8),
+                               tlens, templates, 4, 20, 50)
+    assert len(dense) == len(fast)
+    for (dc, dr), (fc, fr) in zip(dense, fast):
+        assert len(dc) == len(fc) and len(dr) == len(fr)
+        for (s1, e1, q1), (s2, e2, q2) in zip(dc, fc):
+            assert (s1, e1) == (s2, e2)
+            np.testing.assert_array_equal(q1, q2)
+        for (s1, e1, q1), (s2, e2, q2) in zip(dr, fr):
+            assert (s1, e1) == (s2, e2)
+            np.testing.assert_array_equal(q1, q2)

@@ -57,3 +57,39 @@ def test_pipeline_assemble_end_to_end(tmp_path):
     rc = cli.main(["assemble", str(cfg_path)])
     assert rc == 0
     assert os.path.getmtime(ctg_path) == mtime, "stage was not skipped on rerun"
+
+
+def test_stage_retries_then_succeeds(tmp_path):
+    from necat_tpu.pipeline import stages
+
+    calls = {"n": 0}
+    out = tmp_path / "out.txt"
+    inp = tmp_path / "in.txt"
+    inp.write_text("x")
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        out.write_text("done")
+
+    ran = stages._stage(str(tmp_path), "flaky", [str(inp)], [str(out)], {}, flaky)
+    assert ran and calls["n"] == 3 and out.read_text() == "done"
+    # second invocation skips (manifest + outputs up to date)
+    assert not stages._stage(str(tmp_path), "flaky", [str(inp)], [str(out)], {}, flaky)
+    assert calls["n"] == 3
+
+
+def test_stage_gives_up_after_budget(tmp_path):
+    import pytest
+    from necat_tpu.pipeline import stages
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("x")
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError):
+        stages._stage(str(tmp_path), "bad", [str(inp)], [], {}, always_fails)
+    assert not (tmp_path / "bad.done.json").exists()
