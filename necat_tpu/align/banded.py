@@ -362,13 +362,20 @@ def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
             from necat_tpu.align.pallas_banded import (banded_backtrack_cols,
                                                        banded_forward_pallas)
             dirs, offs, _, cost = banded_forward_pallas(a, b, la, lb, W, max_cols=LT)
-            cols, _insb, lead = banded_backtrack_cols(dirs, la, lb, W, max_cols=LT)
+            cols, insb, lead = banded_backtrack_cols(dirs, la, lb, W, max_cols=LT)
         else:
             dirs, offs, _, cost = banded_forward(a, b, la, lb, W, max_cols=LT)
             ops, n_ops = banded_traceback(dirs, offs, la, lb, max_ops=LQ + LT)
-            cols, _insb, lead = ops_to_cols(ops, n_ops, a, b, MC=LT)
+            cols, insb, lead = ops_to_cols(ops, n_ops, a, b, MC=LT)
         st = cols_clip_stats(cols, lead, a, b, tail_match)
-        out[side] = dict(cols=cols, lead=lead, jc=st["jc"], q=st["q"], t=st["t"],
+        # leading-run inserted bases, delta-indexed (entry d-1 = base at delta d)
+        # so the tag scatter never needs the query batch again:
+        #   right/fwd pass: delta d -> a[d-1]; left/rev pass: delta d -> a[lead-d]
+        dl = jnp.arange(1, N_INSB + 1, dtype=jnp.int32)[None, :]
+        lidx = (dl - 1) if side == "right" else (lead[:, None] - dl)
+        leadb = jnp.take_along_axis(a, jnp.clip(lidx, 0, a.shape[1] - 1), axis=1)
+        out[side] = dict(cols=cols, insb=insb, lead=lead, leadb=leadb,
+                         jc=st["jc"], q=st["q"], t=st["t"],
                          n_match=st["n_match"], n_cols=st["n_cols"])
 
     qoff = anchor_q - out["left"]["q"]
@@ -381,9 +388,11 @@ def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
     # stats packed into one array so callers do a single host transfer
     stats = jnp.stack([qoff, qend, toff, tend, n_cols, n_match], axis=0)
     return dict(
-        left_cols=out["left"]["cols"], left_lead=out["left"]["lead"],
+        left_cols=out["left"]["cols"], left_insb=out["left"]["insb"],
+        left_lead=out["left"]["lead"], left_leadb=out["left"]["leadb"],
         left_jc=out["left"]["jc"],
-        right_cols=out["right"]["cols"], right_lead=out["right"]["lead"],
+        right_cols=out["right"]["cols"], right_insb=out["right"]["insb"],
+        right_lead=out["right"]["lead"], right_leadb=out["right"]["leadb"],
         right_jc=out["right"]["jc"],
         qoff=qoff, qend=qend, toff=toff, tend=tend,
         n_cols=n_cols, n_match=n_match, ident=ident, stats=stats,

@@ -51,6 +51,74 @@ def call_consensus(weights, coverage, min_cov, ins_frac, ins_offset=1.0):
     return emit.transpose(0, 2, 1), base.transpose(0, 2, 1)
 
 
+@jax.jit
+def consensus_packed(weights, coverage, min_cov, ins_frac, ins_offset):
+    """call_consensus bit-packed for the device->host link: ONE int32[TB, L]
+    with 3-bit fields per delta slot (field d at bits 3d):
+        field 0 (delta 0): emitted base 0..3 | 5 = covered, no emission
+                           (gap call / zero weight) | 7 = uncovered
+        field d >= 1:      inserted base 0..3 | 7 = no insertion emitted
+    4 bytes/position replaces the [TB, L, D] emit/base pair (the device link
+    runs ~20-40 MB/s d2h) AND needs no device-side compaction — the stream
+    compaction's .at[].set scatter serialized on TPU (26 s/batch measured)."""
+    emit, base = call_consensus(weights, coverage, min_cov, ins_frac, ins_offset)
+    TB, L, D = emit.shape
+    fields = jnp.where(emit, base.astype(jnp.int32), 7)            # [TB, L, D]
+    covered = coverage >= min_cov
+    f0 = jnp.where(emit[:, :, 0], base[:, :, 0].astype(jnp.int32),
+                   jnp.where(covered, 5, 7))
+    fields = jnp.concatenate([f0[:, :, None], fields[:, :, 1:]], axis=2)
+    shifts = (3 * jnp.arange(D, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(fields << shifts, axis=2).astype(jnp.int32)
+
+
+def compact_from_packed(
+    packed: np.ndarray,    # int32[TB, L] (host) from consensus_packed
+    tlens: np.ndarray,
+    templates: np.ndarray,
+    min_size: int,
+    raw_min_gap: int,
+    max_delta: int = 8,
+    min_run: int | None = None,
+) -> List[Tuple[List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]]]:
+    """Host decode of consensus_packed: identical output to compact_consensus.
+
+    min_run overrides the covered-run length threshold (consensus_unbroken uses
+    0.85*min_size for the run but min_size for the emitted fragment,
+    src/tasc/cbcns.c:200-208); default = min_size (consensus_broken)."""
+    TB, L = packed.shape
+    if min_run is None:
+        min_run = min_size
+    out = []
+    for b in range(TB):
+        n = int(tlens[b])
+        cns_pieces: List[Tuple[int, int, np.ndarray]] = []
+        raw_pieces: List[Tuple[int, int, np.ndarray]] = []
+        if n == 0:
+            out.append((cns_pieces, raw_pieces))
+            continue
+        p = packed[b, :n]
+        cov = (p & 7) != 7
+        dif = np.diff(np.r_[0, cov.astype(np.int8), 0])
+        starts = np.flatnonzero(dif == 1)
+        ends = np.flatnonzero(dif == -1)
+        for s, e in zip(starts, ends):
+            if e - s < min_run:
+                continue
+            fields = (p[s:e, None] >> (3 * np.arange(max_delta)[None, :])) & 7
+            seq = fields[fields < 4]            # row-major: t asc, delta asc
+            if len(seq) >= min_size:
+                cns_pieces.append((int(s), int(e), seq.astype(np.uint8)))
+        kept = [(s, e) for (s, e, _) in cns_pieces]
+        prev = 0
+        for s, e in kept + [(n, n)]:
+            if s - prev >= raw_min_gap:
+                raw_pieces.append((prev, s, templates[b, prev:s].astype(np.uint8)))
+            prev = max(prev, e)
+        out.append((cns_pieces, raw_pieces))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("SL",))
 def consensus_stream(weights, coverage, min_cov, ins_frac, ins_offset, SL: int):
     """call_consensus + device-side compaction. Returns

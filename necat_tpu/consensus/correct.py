@@ -22,8 +22,7 @@ import numpy as np
 
 from necat_tpu.align.banded import extend_batch
 from necat_tpu.consensus import tags as tags_mod
-from necat_tpu.consensus.backbone import (call_consensus, compact_consensus,
-                                          compact_from_stream, consensus_stream)
+from necat_tpu.consensus.backbone import compact_from_packed, consensus_packed
 from necat_tpu.consensus.options import CnsOptions
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates
@@ -260,31 +259,46 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
             cov_host[b, tl[i]:tr[i]] += 1
         round_id += 1
 
-    # consensus call + compaction (device compaction; the dense emit/base
-    # tensors never leave the device unless the stream buffer overflows)
-    SL = Lt + max(1024, Lt // 8)
+    # consensus call + bit-packed download (4 B/position) + host compaction
     with timed("cns.call_consensus"):
-        stream, cum_t, n_emit, cov8 = consensus_stream(
-            weights[:TB], covten[:TB], opts.min_cov, opts.ins_frac,
-            opts.ins_offset, SL=SL)
+        packed = consensus_packed(weights[:TB], covten[:TB], opts.min_cov,
+                                  opts.ins_frac, opts.ins_offset)
     with timed("cns.compact"):
-        n_emit = np.asarray(n_emit)
-        if np.any(n_emit > SL):  # pathological insert volume: dense fallback
-            emit, base = call_consensus(weights[:TB], covten[:TB], opts.min_cov,
-                                        opts.ins_frac, opts.ins_offset)
-            pieces = compact_consensus(np.asarray(emit), np.asarray(base),
-                                       np.asarray(covten[:TB]), tlens_np, tbatch_np,
-                                       opts.min_cov, opts.min_size, opts.raw_min_gap)
-        else:
-            pieces = compact_from_stream(np.asarray(stream), np.asarray(cum_t),
-                                         np.asarray(cov8), tlens_np, tbatch_np,
-                                         opts.min_cov, opts.min_size, opts.raw_min_gap)
+        # full consensus (-f 1, intermediate iterations) keeps reads whole:
+        # covered-run threshold drops to 0.85*min_size (cbcns.c:200) and the
+        # fragments are stitched with raw template gaps below
+        min_run = (max(1, int(opts.min_size * 0.85))
+                   if opts.full_consensus else None)
+        pieces = compact_from_packed(np.asarray(packed), tlens_np, tbatch_np,
+                                     opts.min_size, opts.raw_min_gap,
+                                     max_delta=D, min_run=min_run)
     records = []
     for b, (cns_p, raw_p) in enumerate(pieces):
         if b >= n_real_templates:
             break
         tid = int(tb_ids[b])
         n = int(tlens_np[b])
+        if opts.full_consensus:
+            # consensus_unbroken (src/tasc/cbcns.c:171-252): one whole read —
+            # consensus fragments joined by the raw template between them
+            if not cns_p:
+                records.append(CnsRecord(tid=tid, left=0, right=n, org_size=n,
+                                         seq=tbatch_np[b, :n].astype(np.uint8),
+                                         corrected=False))
+                continue
+            parts = []
+            prev = 0
+            for (s, e, seq) in cns_p:
+                if s > prev:
+                    parts.append(tbatch_np[b, prev:s].astype(np.uint8))
+                parts.append(seq)
+                prev = e
+            if prev < n:
+                parts.append(tbatch_np[b, prev:n].astype(np.uint8))
+            whole = np.concatenate(parts)
+            records.append(CnsRecord(tid=tid, left=0, right=n, org_size=n,
+                                     seq=whole, corrected=True))
+            continue
         for (s, e, seq) in cns_p:
             records.append(CnsRecord(tid=tid, left=s, right=e, org_size=n, seq=seq, corrected=True))
         for (s, e, seq) in raw_p:
@@ -326,9 +340,10 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
             sel = sel[[tier_of[int(p)] == L for p in sel]]  # keep single-tier
             cs += len(sel)
             n_real = len(sel)
-            # pair dim snapped to the next power of two (>=32): waves rarely
-            # fill PBmax, and full-width padding cost ~2x measured occupancy
-            PB = min(PBmax, max(32, 1 << (n_real - 1).bit_length()))
+            # pair dim snapped to {128, 512}: two shapes bound the number of
+            # compiled program variants (each extra PB value multiplies the
+            # extension+scatter compile count by the number of length tiers)
+            PB = min(PBmax, 128 if n_real <= 128 else 512)
             with timed("cns.chunk_build"):
                 qb = np.zeros((PB, L), np.uint8)
                 tb = np.zeros((PB, L), np.uint8)
@@ -403,6 +418,7 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
 
 
 def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
+    use_mm = tags_mod.use_mm_scatter()
     for sel, res, qb, ws_sel, aq, at, live in results["chunks"]:
         PB = int(res.left_cols.shape[0])
         n_real = len(sel)
@@ -415,13 +431,31 @@ def _scatter_round(results, rows, ok, weights, covten, tlens_np, TB):
         # window-local anchors; tags use ABSOLUTE template coords
         at_abs = at.astype(np.int64).copy()
         at_abs[:n_real] += ws_sel
-        args = (qb, jnp.asarray(aq), jnp.asarray(at_abs.astype(np.int32)),
-                jnp.asarray(pair_row), jnp.asarray(w), jnp.asarray(tsz))
+        at_j = jnp.asarray(at_abs.astype(np.int32))
+        row_j, w_j, tsz_j = (jnp.asarray(pair_row), jnp.asarray(w),
+                             jnp.asarray(tsz))
+        Lt = int(weights.shape[3])
         with timed("cns.scatter"):
-            weights, covten = tags_mod.scatter_pass_cols(
-                weights, covten, res.right_cols, res.right_lead, res.right_jc,
-                *args, reversed_part=False)
-            weights, covten = tags_mod.scatter_pass_cols(
-                weights, covten, res.left_cols, res.left_lead, res.left_jc,
-                *args, reversed_part=True)
+            if use_mm:
+                from necat_tpu.align.banded import OP_PAD as _PAD
+                weights, covten = tags_mod.scatter_pass_cols_mm(
+                    weights, covten,
+                    tags_mod.pad_cols_to(res.right_cols, Lt, _PAD),
+                    tags_mod.pad_cols_to(res.right_insb, Lt, 0),
+                    res.right_lead, res.right_leadb, res.right_jc,
+                    at_j, row_j, w_j, tsz_j, reversed_part=False)
+                weights, covten = tags_mod.scatter_pass_cols_mm(
+                    weights, covten,
+                    tags_mod.pad_cols_to(res.left_cols, Lt, _PAD),
+                    tags_mod.pad_cols_to(res.left_insb, Lt, 0),
+                    res.left_lead, res.left_leadb, res.left_jc,
+                    at_j, row_j, w_j, tsz_j, reversed_part=True)
+            else:
+                args = (qb, jnp.asarray(aq), at_j, row_j, w_j, tsz_j)
+                weights, covten = tags_mod.scatter_pass_cols(
+                    weights, covten, res.right_cols, res.right_lead,
+                    res.right_jc, *args, reversed_part=False)
+                weights, covten = tags_mod.scatter_pass_cols(
+                    weights, covten, res.left_cols, res.left_lead,
+                    res.left_jc, *args, reversed_part=True)
     return weights, covten

@@ -40,3 +40,27 @@ class CnsOptions:
     # stand-in for the DALIGNER cascade (oc2cns -r, cns_options.c:19 default 0)
     rescue_long_indels: bool = False
     rescue_band_scale: int = 4
+
+    @classmethod
+    def from_string(cls, s: str, base: "CnsOptions | None" = None) -> "CnsOptions":
+        """Merge a NECAT CNS option string over defaults (parse_CnsOptions,
+        cns_options.c:43-90: -a min_align_size, -x min_cov, -y max_cov,
+        -l min_size, -f full_consensus, -e error, -p mapping_ratio,
+        -r rescue_long_indels, -u use_fixed_ident_cutoff; -t threads and
+        -s small_memory are runtime concerns handled elsewhere)."""
+        from necat_tpu.overlap.options import _parse_flags
+        f = _parse_flags(s)
+        b = base or cls()
+        return dataclasses.replace(
+            b,
+            min_align_size=int(f.get("a", b.min_align_size)),
+            min_cov=int(f.get("x", b.min_cov)),
+            max_cov=int(f.get("y", b.max_cov)),
+            min_size=int(f.get("l", b.min_size)),
+            full_consensus=bool(int(f.get("f", int(b.full_consensus)))),
+            error=float(f.get("e", b.error)),
+            mapping_ratio=float(f.get("p", b.mapping_ratio)),
+            rescue_long_indels=bool(int(f.get("r", int(b.rescue_long_indels)))),
+            use_fixed_ident_cutoff=bool(
+                int(f.get("u", int(b.use_fixed_ident_cutoff)))),
+        )

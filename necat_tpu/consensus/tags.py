@@ -172,6 +172,182 @@ def scatter_pass(weights, coverage, ops, n_ops, qbatch, aq, at, pair_row,
     return weights, coverage
 
 
+def use_mm_scatter() -> bool:
+    """The one-hot-matmul tag accumulator is the TPU path (XLA scatter-add
+    serializes on TPU: 17 s/call measured vs ~5 ms for the MXU formulation).
+    The scatter formulation remains the exact oracle and the CPU default."""
+    import os
+    v = os.environ.get("NECAT_TPU_MM_SCATTER")
+    if v is not None:
+        return v not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+N_INSB = 7  # inserted bases recoverable per column run (= max_delta - 1)
+
+
+def _row_shift(x, s):
+    """out[p, t] = x[p, t - s_p] (0 outside), s any int32[P]; L % 128 == 0.
+
+    TPU take_along_axis along the lane axis runs ~45 M elem/s (measured 173 ms
+    for one [512, 24576] gather); this decomposition — 128-aligned block gather
+    (whole-tile rows) + a 7-step binary fine shift — does the same re-indexing
+    in ~13 ms.
+
+    Decomposition: s = 128*q + r with r in [0,128). The coarse pass builds
+    z[t'] = x[t' - 128*(q+1)] over an extended axis [0, L+128) (the extra
+    block supplies the residue the fine pass shifts back in); the fine pass
+    is y[t] = z[t + (128-r)], a per-row left shift realized as one static
+    shift plus 7 conditional power-of-two shifts."""
+    P, L = x.shape
+    Lp = -(-L // 128) * 128
+    if Lp != L:  # tiers are 128-multiples in production; pad for odd test sizes
+        x = jnp.concatenate([x, jnp.zeros((P, Lp - L), x.dtype)], axis=1)
+        return _row_shift(x, s)[:, :L]
+    NB = L // 128
+    q = jnp.floor_divide(s, 128)
+    r = (s - 128 * q).astype(jnp.int32)
+    xb = x.reshape(P, NB, 128)
+    zbi = jnp.arange(NB + 1, dtype=jnp.int32)[None, :]
+    src = zbi - (q[:, None] + 1)
+    okb = (src >= 0) & (src < NB)
+    z = jnp.where(okb[:, :, None],
+                  jnp.take_along_axis(xb, jnp.clip(src, 0, NB - 1)[:, :, None],
+                                      axis=1),
+                  0).reshape(P, L + 128)
+    u = 127 - r                       # y[t] = z[t + 1 + u], u in [0,128)
+    y = z[:, 1:]
+    k = 64
+    while k >= 1:
+        sh = jnp.concatenate([y[:, k:], jnp.zeros((P, k), x.dtype)], axis=1)
+        y = jnp.where((u[:, None] & k) != 0, sh, y)
+        k //= 2
+    return y[:, :L]
+
+
+def _shift_left1(x, fill):
+    """out[p, t] = x[p, t + 1] with `fill` in the last column."""
+    P, L = x.shape
+    return jnp.concatenate([x[:, 1:], jnp.full((P, 1), fill, x.dtype)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("reversed_part",),
+                   donate_argnames=("weights", "coverage"))
+def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
+                         at, pair_row, pair_w, tsize, reversed_part: bool):
+    """MXU formulation of scatter_pass_cols (same tags, same totals).
+
+    Key observation: a column j's template position is an AFFINE function of j
+    (fwd t = at + j - 1; rev t = at - j), so re-indexing the per-column encoding
+    onto the template axis is one aligned gather per pair, after which every
+    (delta, base) tag plane is a pure elementwise mask over [P, Lt] and the
+    accumulation over pairs is a dot with the [TB, P] row-assignment matrix —
+    dense MXU work instead of a serialized scatter-add. Inserted bases come
+    from the `insb` per-column side channel (first/last N_INSB bases of each
+    run, banded.ops_to_cols / pallas backtrack) and the `leadb` leading-run
+    bases (extend_batch), not a query gather; the delta policy matches
+    scatter_pass_cols exactly (fwd keeps the first D-1 insertions of a run,
+    rev the last D-1, runs of the clipped column jc excluded).
+
+    cols/insb must be pre-padded/sliced to second dim == Lt (columns beyond Lt
+    cannot land in-bounds: fwd t = at+j-1 < tsize <= Lt, rev t = at-j >= 0) —
+    this keeps one compiled program per (P, Lt) instead of per (P, MC, Lt)."""
+    P, MC = cols.shape
+    TBp1, D, _, Lt = weights.shape
+    assert MC == Lt, "canonicalize cols/insb to Lt (pad_cols_to) before calling"
+    TB = TBp1 - 1
+    f32 = jnp.float32
+    rows = jnp.arange(TB, dtype=jnp.int32)
+    assign = (pair_row[None, :] == rows[:, None])
+    Mw = jnp.where(assign, pair_w[None, :], 0.0).astype(f32)      # [TB, P]
+    M1 = assign.astype(f32)
+    hp = jax.lax.Precision.HIGHEST
+
+    t = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    j_of_t = (t - at[:, None] + 1) if not reversed_part else (at[:, None] - t)
+    tok = t < tsize[:, None]
+
+    # re-index the per-column arrays onto the template axis: column j lives at
+    # t = at+j-1 (fwd) or t = at-j (rev) — a per-pair shift (after a static
+    # flip for rev), done with the block-shift decomposition, not a gather
+    if not reversed_part:
+        colsS = _row_shift(cols, at)
+        insbS = _row_shift(insb, at)
+        colsI_s, insbI_s = colsS, insbS
+    else:
+        colsS = _row_shift(cols[:, ::-1], at - MC)
+        insbS = _row_shift(insb[:, ::-1], at - MC)
+        colsI_s = _shift_left1(colsS, 0)
+        insbI_s = _shift_left1(insbS, 0)
+
+    # ---- delta-0 planes (one per base incl. gap) + coverage
+    ok0 = (j_of_t >= 1) & (j_of_t <= jc[:, None]) & tok
+    colsT = jnp.where(ok0, colsS, OP_PAD)
+    op0 = colsT & 3
+    act0 = op0 != OP_PAD
+    base0 = jnp.where(op0 == OP_DEL, GAP_CODE, (colsT >> 3) & 3)
+    d0 = (base0[:, None, :] == jnp.arange(5, dtype=jnp.int32)[None, :, None]) \
+        & act0[:, None, :]                                         # [P, 5, Lt]
+    w0 = jnp.einsum("bp,pcl->bcl", Mw, d0.astype(f32), precision=hp)
+    cov = jnp.einsum("bp,pl->bl", M1, act0.astype(f32), precision=hp)
+
+    # ---- insertion planes from insb: delta d (1..D-1), base b (0..3)
+    # fwd: a run lands at its own column's t; rev: one position further left
+    ji = j_of_t if not reversed_part else (j_of_t - 1)
+    oki = (ji >= 1) & (ji <= jc[:, None] - 1) & tok
+    colsI = jnp.where(oki, colsI_s, OP_PAD)
+    insbT = jnp.where(oki, insbI_s, 0)
+    kI = jnp.where((colsI & 3) != OP_PAD, colsI >> 5, 0)
+    nd = min(D - 1, N_INSB)
+    sh0 = 0 if not reversed_part else 14
+    wk = []
+    for d in range(1, nd + 1):
+        bd = (insbT >> (sh0 + 2 * (d - 1))) & 3
+        okd = kI >= d
+        pl = (bd[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None]) \
+            & okd[:, None, :]                                      # [P, 4, Lt]
+        wk.append(jnp.einsum("bp,pcl->bcl", Mw, pl.astype(f32), precision=hp))
+    wk = jnp.stack(wk, axis=1)                                     # [TB, nd, 4, Lt]
+
+    upd = jnp.concatenate([
+        w0[:, None, :, :],
+        jnp.concatenate([wk, jnp.zeros((TB, nd, 1, Lt), f32)], axis=2),
+    ], axis=1)                                                     # [TB, D, 5, Lt]
+    weights = weights.at[:TB].add(upd)
+    coverage = coverage.at[:TB].add(cov.astype(jnp.int32))
+
+    # ---- leading-run insertions (before column 1): <= N_INSB tiny scatters
+    # leadb entry d-1 = query base at delta d (prepared by extend_batch for
+    # the pass direction)
+    tl = at - 1
+    okl_t = (tl >= 0) & (tl < tsize) & (pair_row < TB) & (jc > 0)
+    lin_parts = []
+    w_parts = []
+    for d in range(1, nd + 1):
+        okd = okl_t & (lead >= d)
+        qb = leadb[:, d - 1].astype(jnp.int32)
+        row = jnp.where(okd, pair_row, TB)
+        lin = ((row * D + d) * 5 + qb) * Lt + jnp.clip(tl, 0, Lt - 1)
+        lin_parts.append(lin)
+        w_parts.append(jnp.where(okd, pair_w, 0.0))
+    lin_all = jnp.concatenate(lin_parts)
+    w_all = jnp.concatenate(w_parts)
+    weights = weights.reshape(-1).at[lin_all].add(w_all).reshape(weights.shape)
+    return weights, coverage
+
+
+def pad_cols_to(x, Lt: int, fill: int):
+    """Canonicalize a per-column array's second dim to Lt (see
+    scatter_pass_cols_mm): slice when longer, pad with `fill` when shorter.
+    Eager jnp ops — trivial compiles, so shape pairs are cheap."""
+    P, MC = x.shape
+    if MC == Lt:
+        return x
+    if MC > Lt:
+        return x[:, :Lt]
+    return jnp.concatenate([x, jnp.full((P, Lt - MC), fill, x.dtype)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("reversed_part",))
 def scatter_pass_cols(weights, coverage, cols, lead, jc, qbatch, aq, at,
                       pair_row, pair_w, tsize, reversed_part: bool):

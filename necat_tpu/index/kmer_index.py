@@ -63,10 +63,25 @@ class KmerIndex:
     ) -> "KmerIndex":
         """Build from the volume's flat bases + read offsets (host sort, device arrays).
 
-        The multi-threaded radix sort of the reference (hash_list_bucket_sort.c) is
-        replaced by a NumPy sort here; device-side radix sort is a later optimization.
+        The reference's multi-threaded radix sort (hash_list_bucket_sort.c) is
+        the native C++ path (necat_tpu.native.build_kmer_index, LSD radix);
+        NumPy argsort is the fallback when the native library is unavailable.
         """
         assert k <= 15, "k must fit 30 bits (int32 device arrays)"
+        shift = 2 * k - n_bucket_bits
+        assert shift >= 0
+        from necat_tpu import native
+        nat = native.build_kmer_index(bases, offsets, k, n_bucket_bits)
+        if nat is not None:
+            sh, sp, bucket_starts = nat
+            return cls(
+                k=k,
+                occ_cutoff=occ_cutoff,
+                n_bucket_bits=n_bucket_bits,
+                sorted_hashes=jnp.asarray(sh, dtype=jnp.int32),
+                sorted_positions=jnp.asarray(sp, dtype=jnp.int32),
+                bucket_starts=jnp.asarray(bucket_starts, dtype=jnp.int32),
+            )
         hashes = kmer_hashes_flat(bases, k)
         n = len(hashes)
         # valid: k-mer must not span a read boundary.
@@ -80,8 +95,6 @@ class KmerIndex:
         sp = positions[order]
         # bucket directory over top bits
         nb = 1 << n_bucket_bits
-        shift = 2 * k - n_bucket_bits
-        assert shift >= 0
         bucket = (sh >> shift).astype(np.int64)
         bucket_starts = np.zeros(nb + 1, dtype=np.int64)
         np.add.at(bucket_starts, bucket + 1, 1)

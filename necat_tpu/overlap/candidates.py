@@ -214,11 +214,14 @@ def find_candidates_batch(
 
     fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
                                index.occ_cutoff, opts.scan_window, opts)
-    g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
-           sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
+    from necat_tpu.utils.logging import timed
+    with timed("cand.dispatch"):
+        g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
+               sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
 
     # host-side filtering & packing (single transfer)
-    st = np.asarray(g["stats"])
+    with timed("cand.stats_sync"):
+        st = np.asarray(g["stats"])
     pv = st[2].astype(bool)
     n_seeds = st[3]
     score = st[4]

@@ -12,6 +12,21 @@ from __future__ import annotations
 import dataclasses
 
 
+def _parse_flags(s: str) -> dict:
+    """Parse a getopt-style option string ('-n 500 -z 20 ...') into a dict."""
+    toks = s.split()
+    out = {}
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith("-") and len(t) == 2 and i + 1 < len(toks):
+            out[t[1]] = toks[i + 1]
+            i += 2
+        else:
+            i += 1
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class MapOptions:
     kmer_size: int = 15
@@ -28,6 +43,30 @@ class MapOptions:
     max_hits: int = 1 << 21         # hit slots per (batch, strand) pass
     max_pairs: int = 8192           # (query, subject) pairs chained per pass
     max_seeds_per_pair: int = 64    # seeds fed to chain DP per pair (subsampled beyond)
+
+    @classmethod
+    def from_string(cls, s: str, base: "MapOptions | None" = None) -> "MapOptions":
+        """Merge a NECAT option string over defaults (the role of
+        mergeOptionString + parse_MapOptions, necat.pl:20 / map_options.c:90+).
+
+        Recognized flags (map_options.c argn_list "k:z:q:b:s:n:a:d:e:m:t:j:u:i:"):
+        -k kmer_size, -z scan_window, -q occ_cutoff, -s block_score_cutoff,
+        -n ncan, -a align_size_cutoff. Flags whose mechanism does not exist in
+        this design are accepted and ignored: -b block_size / -d ddfs (the
+        two-level block-scoring heuristic is replaced by full chain DP),
+        -e error, -m num_output, -t threads, -j job, -u binary, -i hdr-as-id
+        (handled by the stage/driver layer)."""
+        f = _parse_flags(s)
+        b = base or cls()
+        return dataclasses.replace(
+            b,
+            kmer_size=int(f.get("k", b.kmer_size)),
+            scan_window=int(f.get("z", b.scan_window)),
+            occ_cutoff=int(f.get("q", b.occ_cutoff)),
+            block_score_cutoff=int(f.get("s", b.block_score_cutoff)),
+            ncan=int(f.get("n", b.ncan)),
+            align_size_cutoff=int(f.get("a", b.align_size_cutoff)),
+        )
 
 
 CORRECTION_MAP_OPTIONS = MapOptions()

@@ -46,9 +46,11 @@ def find_all_candidates(
     subject_read_start: global read id of the volume's first read (oc2pmov's
     volume offset). query_ids restricts/labels the queries (global ids).
     """
+    from necat_tpu.utils.logging import timed
     if index is None:
-        index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
-                                occ_cutoff=opts.occ_cutoff)
+        with timed("cand.index_build"):
+            index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
+                                    occ_cutoff=opts.occ_cutoff)
     sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     parts = []

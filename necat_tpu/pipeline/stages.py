@@ -157,11 +157,26 @@ class Project:
             for it in range(cfg.num_iter):
                 logger.info("correction iteration %d/%d: %d reads",
                             it + 1, cfg.num_iter, cur.n_reads)
-                cands = find_all_candidates(cur, cur, MapOptions(), pairwise=True)
+                # iteration 1 maps sensitive / later iterations fast, with
+                # rescue on for fast and -f per last-iteration — exactly
+                # runCnsAlign/runCnsCorrect (necat.pl:165-173, 250-261)
+                if it == 0:
+                    mopts = MapOptions.from_string(
+                        cfg.get("OVLP_SENSITIVE_OPTIONS", ""))
+                    copts = CnsOptions.from_string(
+                        cfg.get("CNS_SENSITIVE_OPTIONS", "") + " -r 0")
+                else:
+                    mopts = MapOptions.from_string(
+                        cfg.get("OVLP_FAST_OPTIONS", ""))
+                    copts = CnsOptions.from_string(
+                        cfg.get("CNS_FAST_OPTIONS", "") + " -r 1")
+                copts = dataclasses.replace(
+                    copts, full_consensus=(it + 1 != cfg.num_iter))
+                cands = find_all_candidates(cur, cur, mopts, pairwise=True)
                 call = Candidates.concat([cands, cands.swap_roles()])
                 stripe = (launcher.host_stripe(cur.n_reads, pid, nproc)
                           if nproc > 1 else None)
-                recs = correct_reads(cur, call, CnsOptions(), template_ids=stripe)
+                recs = correct_reads(cur, call, copts, template_ids=stripe)
                 recs.sort(key=lambda r: (r.tid, r.left))  # oc2ReorderCnsReads role
                 seqs = [r.seq for r in recs]
                 names = [f"{r.tid}_{r.left}_{r.right}_{r.org_size}" for r in recs]
@@ -205,7 +220,9 @@ class Project:
 
         def fn():
             reads = ReadStore.from_fasta(cns)
-            m4 = overlap_all_vs_all(reads, MapOptions(ncan=100))
+            mopts = MapOptions.from_string(
+                self.cfg.get("TRIM_OVLP_OPTIONS", ""), MapOptions(ncan=100))
+            m4 = overlap_all_vs_all(reads, mopts)
             trimmed, kept, ranges = trim_reads(reads, m4, TrimOptions())
             trimmed.to_fasta(out)
             logger.info("trimmed: %d/%d reads kept", trimmed.n_reads, reads.n_reads)
@@ -221,7 +238,9 @@ class Project:
 
         def fn():
             trimmed = ReadStore.from_fasta(trimmed_path)
-            m4 = overlap_all_vs_all(trimmed, MapOptions(ncan=100))
+            mopts = MapOptions.from_string(
+                self.cfg.get("ASM_OVLP_OPTIONS", ""), MapOptions(ncan=100))
+            m4 = overlap_all_vs_all(trimmed, mopts)
             os.makedirs(wd, exist_ok=True)
             m4.save(os.path.join(wd, "pm.m4.gz"))
             res = assemble(trimmed, m4, FilterOptions())

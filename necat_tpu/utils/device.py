@@ -23,4 +23,38 @@ def setup_runtime(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    warm_downlink()
     _initialized = True
+
+
+_warm_thread = None
+
+
+def warm_downlink() -> None:
+    """Pay the device->host link setup cost up front, off the main thread.
+
+    The first d2h transfer through the remote-attached TPU link costs ~100 s
+    (measured; subsequent transfers run at 20-40 MB/s). Warming it in a
+    background thread overlaps that one-time cost with host-side work
+    (read loading, packing, k-mer index build)."""
+    global _warm_thread
+    if _warm_thread is not None:
+        return
+    if os.environ.get("NECAT_TPU_COORDINATOR"):
+        # multi-host launch: backend init must wait for jax.distributed
+        return
+    import threading
+
+    def _warm():
+        try:
+            import jax
+            import numpy as _np
+            if jax.default_backend() != "tpu":
+                return
+            d = jax.device_put(_np.zeros(8, _np.uint8))
+            _np.asarray(d)
+        except Exception:
+            pass
+
+    _warm_thread = threading.Thread(target=_warm, daemon=True)
+    _warm_thread.start()

@@ -34,4 +34,13 @@ def length_tier(x: int) -> int:
 
 
 def pairs_per_chunk(L: int, W: int = BAND_W_DEFAULT, cap: int = 512) -> int:
-    return max(8, min(cap, EXTENSION_BYTES // (L * W)))
+    """Pair-batch bound for one extension chunk at tier L, floored to a power
+    of two: the Pallas kernels require PB % 8 == 0 (a stray size like 204
+    silently fell back to the lax.scan formulation, whose 40k-column scan +
+    80k-step traceback ran minutes per chunk on TPU), and pow2 sizes keep the
+    compiled-shape set small."""
+    raw = max(8, min(cap, EXTENSION_BYTES // (L * W)))
+    p = 8
+    while p * 2 <= raw:
+        p *= 2
+    return p

@@ -175,27 +175,72 @@ def test_scatter_pass_cols_matches_scatter_pass():
     dirs, offs, _, _ = banded_forward(aj, bj, jnp.asarray(la), jnp.asarray(lb), W, max_cols=L)
     ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(lb), 2 * L)
     n_clip, _ = clip_tail(ops, n_ops, aj, bj)
-    cols, _insb, lead = ops_to_cols(ops, n_ops, aj, bj, MC=L)
+    cols, insb, lead = ops_to_cols(ops, n_ops, aj, bj, MC=L)
     st = cols_clip_stats(cols, lead, aj, bj)
 
     pair_row = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
     pair_w = jnp.asarray(np.array([1.0, 0.5, 0.75, 0.25], np.float32))
     tsize = jnp.full((P,), Lt, jnp.int32)
-    for reversed_part, aq_np, at_np in [
-            (False, np.zeros(P, np.int32), np.full(P, 3, np.int32)),
-            (True, la.copy(), lb.copy() + 3)]:
+    # for the reversed case the scatter's qbatch must be the ORIGINAL-orientation
+    # view of the extension-order `a` (extend_batch's _gather_rev_prefix invariant:
+    # qbatch[aq-1-p] == a[p]); reusing `a` directly would be inconsistent
+    a_orig = np.zeros_like(a)
+    for i in range(P):
+        a_orig[i, :la[i]] = a[i, :la[i]][::-1]
+    for reversed_part, qb_np, aq_np, at_np in [
+            (False, a, np.zeros(P, np.int32), np.full(P, 3, np.int32)),
+            (True, a_orig, la.copy(), lb.copy() + 3)]:
+        qbj = jnp.asarray(qb_np)
         aq, at = jnp.asarray(aq_np), jnp.asarray(at_np)
         w0 = jnp.zeros((TB + 1, D, 5, Lt), jnp.float32)
         c0 = jnp.zeros((TB + 1, Lt), jnp.int32)
         w_old, c_old = tags_mod.scatter_pass(
-            w0, c0, ops, n_clip, aj, aq, at, pair_row, pair_w, tsize,
+            w0, c0, ops, n_clip, qbj, aq, at, pair_row, pair_w, tsize,
             reversed_part=reversed_part)
         w_new, c_new = tags_mod.scatter_pass_cols(
-            w0, c0, cols, lead, st["jc"], aj, aq, at, pair_row, pair_w, tsize,
+            w0, c0, cols, lead, st["jc"], qbj, aq, at, pair_row, pair_w, tsize,
             reversed_part=reversed_part)
         np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_new))
         np.testing.assert_allclose(np.asarray(w_old), np.asarray(w_new),
                                    rtol=0, atol=1e-6)
+        # MXU (one-hot matmul) formulation must match the scatter exactly
+        lead_np = np.asarray(lead)
+        leadb = np.zeros((P, tags_mod.N_INSB), np.uint8)
+        for d in range(1, tags_mod.N_INSB + 1):
+            src = (d - 1) if not reversed_part else np.clip(lead_np - d, 0, L - 1)
+            leadb[:, d - 1] = a[np.arange(P), src]
+        w_mm, c_mm = tags_mod.scatter_pass_cols_mm(
+            w0, c0, tags_mod.pad_cols_to(cols, Lt, 3),
+            tags_mod.pad_cols_to(insb, Lt, 0), lead, jnp.asarray(leadb),
+            st["jc"], at, pair_row, pair_w, tsize,
+            reversed_part=reversed_part)
+        np.testing.assert_array_equal(np.asarray(c_old), np.asarray(c_mm))
+        np.testing.assert_allclose(np.asarray(w_old), np.asarray(w_mm),
+                                   rtol=0, atol=1e-5)
+
+
+def test_consensus_packed_matches_dense_compaction():
+    rng = np.random.default_rng(11)
+    TB, L, D = 4, 256, 8
+    w = rng.random((TB, D, 5, L)).astype(np.float32) * 3
+    cov = rng.integers(0, 12, (TB, L)).astype(np.int32)
+    tlens = np.array([256, 200, 128, 0], np.int32)
+    templates = rng.integers(0, 4, (TB, L)).astype(np.uint8)
+    from necat_tpu.consensus.backbone import (compact_consensus,
+                                              compact_from_packed,
+                                              consensus_packed)
+    emit, base = call_consensus(jnp.asarray(w), jnp.asarray(cov), 4, 0.3, 1.0)
+    dense = compact_consensus(np.asarray(emit), np.asarray(base), cov,
+                              tlens, templates, 4, 20, 50)
+    packed = consensus_packed(jnp.asarray(w), jnp.asarray(cov), 4, 0.3, 1.0)
+    fast = compact_from_packed(np.asarray(packed), tlens, templates, 20, 50,
+                               max_delta=D)
+    assert len(dense) == len(fast)
+    for (dc, dr), (fc, fr) in zip(dense, fast):
+        assert len(dc) == len(fc) and len(dr) == len(fr)
+        for (s1, e1, q1), (s2, e2, q2) in zip(dc + dr, fc + fr):
+            assert (s1, e1) == (s2, e2)
+            np.testing.assert_array_equal(q1, q2)
 
 
 def test_consensus_stream_matches_dense_compaction():
@@ -225,3 +270,35 @@ def test_consensus_stream_matches_dense_compaction():
         for (s1, e1, q1), (s2, e2, q2) in zip(dr, fr):
             assert (s1, e1) == (s2, e2)
             np.testing.assert_array_equal(q1, q2)
+
+
+def test_full_consensus_stitches_whole_read():
+    """-f 1 (consensus_unbroken, cbcns.c:171-252): one whole output read with
+    consensus fragments joined by raw template gaps."""
+    G = 30000
+    genome = simulate.random_genome(G, seed=5)
+    reads, st, sd, ln = simulate.simulate_reads(
+        genome, coverage=8, mean_len=5000, min_len=3000, max_len=7000, seed=11)
+    rs = ReadStore.from_seqs(reads)
+    idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 19, max_pairs=4096)
+    sub_off = jnp.asarray(rs.offsets.astype(np.int32))
+    parts = []
+    for qdir in (0, 1):
+        batch, lens = rs.padded_batch(np.arange(rs.n_reads), rc=bool(qdir))
+        parts.append(find_candidates_batch(idx, sub_off, 0, batch, lens,
+                     np.arange(rs.n_reads, dtype=np.int32), qdir,
+                     rs.lengths.astype(np.int32), opts, pairwise=True))
+    c = top_n_per_query(Candidates.concat(parts), 500)
+    call = Candidates.concat([c, c.swap_roles()])
+    recs = correct_reads(rs, call,
+                         CnsOptions(templates_per_batch=8, pairs_per_chunk=64,
+                                    full_consensus=True))
+    by_tid = {}
+    for r in recs:
+        by_tid.setdefault(r.tid, []).append(r)
+    # every read yields exactly ONE whole-length record
+    for tid, rr in by_tid.items():
+        assert len(rr) == 1, f"read {tid}: {len(rr)} records under -f 1"
+        assert rr[0].left == 0 and rr[0].right == rr[0].org_size
+    assert sum(1 for r in recs if r.corrected) >= rs.n_reads * 0.5

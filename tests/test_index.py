@@ -75,3 +75,30 @@ def test_query_kmer_hashes():
                 assert h[b, s] == expect
             else:
                 assert not valid[b, s]
+
+
+def test_native_kmer_index_matches_numpy():
+    """The C++ radix-sort index build must produce exactly the numpy build."""
+    import os
+    from necat_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4)
+    lens = rng.integers(20, 4000, 40)
+    bases = rng.integers(0, 4, int(lens.sum())).astype(np.uint8)
+    offsets = np.r_[0, np.cumsum(lens)].astype(np.int64)
+    k, nb = 13, 12
+    nat = native.build_kmer_index(bases, offsets, k, nb)
+    assert nat is not None
+    # force the numpy fallback path for the comparison build
+    orig = native.build_kmer_index
+    native.build_kmer_index = lambda *a, **kw: None
+    try:
+        idx = KmerIndex.build(bases, offsets, k=k, n_bucket_bits=nb)
+    finally:
+        native.build_kmer_index = orig
+    sh, sp, bs = nat
+    np.testing.assert_array_equal(sh, np.asarray(idx.sorted_hashes))
+    np.testing.assert_array_equal(sp, np.asarray(idx.sorted_positions))
+    np.testing.assert_array_equal(bs, np.asarray(idx.bucket_starts))

@@ -93,3 +93,20 @@ def test_stage_gives_up_after_budget(tmp_path):
     with pytest.raises(RuntimeError):
         stages._stage(str(tmp_path), "bad", [str(inp)], [], {}, always_fails)
     assert not (tmp_path / "bad.done.json").exists()
+
+
+def test_option_string_parsing():
+    from necat_tpu.overlap.options import MapOptions
+    from necat_tpu.consensus.options import CnsOptions
+
+    m = MapOptions.from_string("-n 500 -z 20 -b 2000 -e 0.5 -j 0 -u 1 -a 1000")
+    assert m.ncan == 500 and m.scan_window == 20 and m.align_size_cutoff == 1000
+    assert m.kmer_size == 15  # untouched default
+    m2 = MapOptions.from_string("-k 13 -q 300", MapOptions(ncan=100))
+    assert m2.kmer_size == 13 and m2.occ_cutoff == 300 and m2.ncan == 100
+
+    c = CnsOptions.from_string("-a 2000 -x 4 -y 12 -l 1000 -e 0.5 -p 0.8 -u 0 -r 1")
+    assert c.min_align_size == 2000 and c.min_size == 1000
+    assert c.rescue_long_indels and not c.use_fixed_ident_cutoff
+    c2 = CnsOptions.from_string("-f 1")
+    assert c2.full_consensus
