@@ -123,14 +123,89 @@ def _forward_kernel(sub_ref, la_ref, lb_ref, dirs_ref, cost_ref,
             jnp.where(active, d_out, jnp.uint8(OP_PAD))
         return jnp.where(active, Dn, D)
 
-    D = jax.lax.fori_loop(0, CBLK, col_step, state_ref[:, :])
-    state_ref[:, :] = D
+    # skip column blocks beyond every pair's lb (D carries through unchanged)
+    run = (j0 + 1) <= jnp.max(lb)
+
+    @pl.when(run)
+    def _active():
+        D = jax.lax.fori_loop(0, CBLK, col_step, state_ref[:, :])
+        state_ref[:, :] = D
+
+    @pl.when(jnp.logical_not(run))
+    def _dead():
+        dirs_ref[:, :] = jnp.full((SUB, CBLK * W), OP_PAD, jnp.uint8)
 
     @pl.when(jb == n_jb - 1)
     def _final():
+        D = state_ref[:, :]
         l_end = jnp.clip((la - lb + ctr)[:, 0], 0, W - 1)
         costs = jnp.min(jnp.where(lane == l_end[:, None], D, INF), axis=1)
         cost_ref[:, :] = jnp.broadcast_to(costs[:, None], (SUB, 128))
+
+
+def _diag_kernel(*refs, W: int, SUB: int, CBLK: int, NIN: int):
+    """ENC builder in Mosaic: per output column jl (STATIC unrolled python
+    loop, so every VMEM slice is static), enc = mismatch | qbase<<1 from a
+    sliding [SUB, W] window of the shifted query. Replaces the XLA Hankel
+    stack (W strided slices + stack ran ~6 GB/s; this writes the 1-byte/cell
+    tensor at near memory bandwidth)."""
+    a_refs = refs[:NIN]
+    t_ref, out_ref = refs[NIN], refs[NIN + 1]
+    ab = jnp.concatenate([r[:, :] for r in a_refs], axis=1)  # [SUB, NIN*CBLK]
+    t = t_ref[:, :]
+    for jl in range(CBLK):
+        dq = ab[:, jl:jl + W].astype(jnp.int32)       # u8 compare unsupported
+        tc = t[:, jl:jl + 1].astype(jnp.int32)        # static: jl is python
+        enc = jnp.where(dq != tc, 1, 0) | ((dq & 3) << 1)
+        out_ref[:, jl * W:(jl + 1) * W] = enc.astype(jnp.uint8)
+
+
+def _pick_sub_diag(PB: int, W: int, CBLK: int) -> int:
+    s = 8
+    while (s * 2 <= min(PB, SUB_MAX) and PB % (s * 2) == 0
+           and (s * 2) * CBLK * W <= (4 << 20)):
+        s *= 2
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("W", "MC", "CBLK", "interpret"))
+def _diag_sub_matrix_pallas(a, b, la, lb, W: int, MC: int, CBLK: int,
+                            interpret: bool = False):
+    """Pallas path of _diag_sub_matrix: same ENC layout [PB, MC, W]."""
+    from necat_tpu.consensus.tags import _row_shift
+    PB, L = a.shape
+    la_ = la.astype(jnp.int32)[:, None]
+    lb_ = lb.astype(jnp.int32)[:, None]
+    ctr = (W // 2 - (la_ - lb_) // 2)[:, 0]
+    NIN = 1 + -(-W // CBLK)
+    S = MC * 1 + NIN * CBLK            # padded so blocks jb..jb+NIN-1 exist
+    n_jb = MC // CBLK
+    # a_shift[p, x] = a[p, x - ctr_p], PAD_BASE outside — block-shift of a+1
+    # (0 marks out-of-range, mapped to PAD_BASE)
+    a1 = jnp.concatenate([a.astype(jnp.int32) + 1,
+                          jnp.zeros((PB, S - L), jnp.int32)], axis=1) \
+        if S > L else (a.astype(jnp.int32) + 1)[:, :S]
+    sh = _row_shift(a1, ctr)
+    a_shift = jnp.where(sh == 0, PAD_BASE, sh - 1).astype(jnp.uint8)
+    mc = min(MC, b.shape[1])
+    tcol = jnp.full((PB, MC), 255, jnp.uint8)
+    tcol = tcol.at[:, :mc].set(b[:, :mc].astype(jnp.uint8))
+
+    SUB = _pick_sub_diag(PB, W, CBLK)
+    kern = functools.partial(_diag_kernel, W=W, SUB=SUB, CBLK=CBLK, NIN=NIN)
+    in_specs = [pl.BlockSpec((SUB, CBLK),
+                             (lambda pb, jb, _d=d: (pb, jb + _d)))
+                for d in range(NIN)]
+    in_specs.append(pl.BlockSpec((SUB, CBLK), lambda pb, jb: (pb, jb)))
+    enc = pl.pallas_call(
+        kern,
+        grid=(PB // SUB, n_jb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((SUB, CBLK * W), lambda pb, jb: (pb, jb)),
+        out_shape=jax.ShapeDtypeStruct((PB, MC * W), jnp.uint8),
+        interpret=interpret,
+    )(*([a_shift] * NIN), tcol)
+    return enc.reshape(PB, MC, W)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "MC"))
@@ -177,7 +252,13 @@ def banded_forward_pallas(a, b, la, lb, W: int, max_cols: int,
 
     la = jnp.asarray(la, jnp.int32)
     lb = jnp.asarray(lb, jnp.int32)
-    subm = _diag_sub_matrix(jnp.asarray(a), jnp.asarray(b), la, lb, W, MC)
+    if interpret:  # CPU/test path: the XLA Hankel-stack oracle
+        subm = _diag_sub_matrix(jnp.asarray(a), jnp.asarray(b), la, lb, W, MC)
+    else:
+        # Mosaic blocks need a 128-multiple lane dim; MC is a 2048-multiple
+        # tier so a fixed 128-column diagonalizer block always tiles it
+        subm = _diag_sub_matrix_pallas(jnp.asarray(a), jnp.asarray(b), la, lb,
+                                       W, MC, CBLK=128)
     subm = subm.reshape(PB, MC * W)
     la_v = jnp.broadcast_to(la[:, None], (PB, 128))
     lb_v = jnp.broadcast_to(lb[:, None], (PB, 128))
@@ -291,14 +372,17 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
         o = jnp.where(row_sel <= 0, OP_DEL, o)              # row 0: all-del border
         match = jnp.where(o == OP_DIAG, 1 - ((vsel >> 2) & 1), 0)
         qbase = jnp.where(o == OP_DIAG, (vsel >> 3) & 3, 0)
-        insv = jnp.zeros_like(k)
-        for d in range(1, N_INSB + 1):
-            bd = jnp.sum(jnp.where(lane == sel + d, qb_lane, 0), axis=1, keepdims=True)
-            bl = jnp.sum(jnp.where(lane == curc - (d - 1), qb_lane, 0), axis=1,
-                         keepdims=True)
-            ok_d = k >= d
-            insv = insv | jnp.where(ok_d, bd << (2 * (d - 1)), 0) \
-                        | jnp.where(ok_d, bl << (14 + 2 * (d - 1)), 0)
+        # inserted bases of the run (lanes sel+1..curc): first N_INSB at bits
+        # 2(d-1) (d = lane-sel), last N_INSB at bits 14+2(curc-lane) — ONE
+        # positionally-weighted masked sum replaces 2*N_INSB lane reductions
+        kc = jnp.minimum(k, N_INSB)
+        d_f = lane - sel                                    # 1-based run rank
+        d_b = curc - lane                                   # 0-based from the end
+        in_f = (d_f >= 1) & (d_f <= kc)
+        in_b = (d_b >= 0) & (d_b < kc)
+        terms = jnp.where(in_f, qb_lane << jnp.clip(2 * (d_f - 1), 0, 30), 0) \
+            + jnp.where(in_b, qb_lane << jnp.clip(14 + 2 * d_b, 0, 30), 0)
+        insv = jnp.sum(terms, axis=1, keepdims=True)
         val = jnp.where(active, (k << 5) | (qbase << 3) | (match << 2) | o, OP_PAD)
         acc = jnp.where(lane_c == jl, val, acc)
         acc_i = jnp.where(lane_c == jl, jnp.where(active, insv, 0), acc_i)
@@ -308,17 +392,28 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
         cur = jnp.where(active, jnp.broadcast_to(cur_new, (SUB, W)), cur)
         return cur, acc, acc_i
 
-    acc0 = jnp.full((SUB, CBLK), OP_PAD, jnp.int32)
-    acc_i0 = jnp.zeros((SUB, CBLK), jnp.int32)
-    cur, acc, acc_i = jax.lax.fori_loop(0, CBLK, col_step,
-                                        (cur_ref[:, :], acc0, acc_i0))
-    cur_ref[:, :] = cur
-    cols_ref[:, :] = acc
-    insb_ref[:, :] = acc_i
+    # skip blocks whose columns are beyond every pair's lb (pure padding):
+    # the walk state is untouched there, so the whole column loop is dead
+    run = (j0 + 1) <= jnp.max(lb)
+
+    @pl.when(run)
+    def _active():
+        acc0 = jnp.full((SUB, CBLK), OP_PAD, jnp.int32)
+        acc_i0 = jnp.zeros((SUB, CBLK), jnp.int32)
+        cur, acc, acc_i = jax.lax.fori_loop(0, CBLK, col_step,
+                                            (cur_ref[:, :], acc0, acc_i0))
+        cur_ref[:, :] = cur
+        cols_ref[:, :] = acc
+        insb_ref[:, :] = acc_i
+
+    @pl.when(jnp.logical_not(run))
+    def _dead():
+        cols_ref[:, :] = jnp.full((SUB, CBLK), OP_PAD, jnp.int32)
+        insb_ref[:, :] = jnp.zeros((SUB, CBLK), jnp.int32)
 
     @pl.when(jb == n_jb - 1)
     def _final():
-        fslot_ref[:, :] = jnp.broadcast_to(cur[:, :1], (SUB, 128))
+        fslot_ref[:, :] = jnp.broadcast_to(cur_ref[:, :1], (SUB, 128))
 
 
 def banded_backtrack_cols(dirs, la, lb, W: int, max_cols: int,

@@ -79,7 +79,15 @@ class M4Records:
         return qoff, qend
 
     # ------------------------------------------------------------------- IO
-    def save(self, path: str | os.PathLike) -> None:
+    def save(self, path: str | os.PathLike, names=None) -> None:
+        """Write by extension: .m4[.gz] (ids), .m4a[.gz] (read names,
+        OverlapStore::ToM4aLine overlap_store.cpp:297-307 — needs `names`),
+        .paf[.gz] (minimap2 PAF)."""
+        base = str(path)[:-3] if str(path).endswith(".gz") else str(path)
+        if base.endswith(".m4a"):
+            return self.save_m4a(path, names)
+        if base.endswith(".paf"):
+            return self.save_paf(path, names)
         opener = gzip.open if str(path).endswith(".gz") else open
         with opener(path, "wt") as f:
             for i in range(len(self)):
@@ -87,6 +95,33 @@ class M4Records:
                         f"{self.vscore[i]}\t{self.qdir[i]}\t{self.qoff[i]}\t{self.qend[i]}\t"
                         f"{self.qsize[i]}\t{self.sdir[i]}\t{self.soff[i]}\t{self.send[i]}\t"
                         f"{self.ssize[i]}\n")
+
+    def save_m4a(self, path: str | os.PathLike, names) -> None:
+        """M4 with read names in the id columns (ToM4aLine)."""
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "wt") as f:
+            for i in range(len(self)):
+                f.write(f"{names[self.qid[i]]} {names[self.sid[i]]} "
+                        f"{self.ident[i]:.2f} {self.vscore[i]} "
+                        f"{self.qdir[i]} {self.qoff[i]} {self.qend[i]} {self.qsize[i]} "
+                        f"{self.sdir[i]} {self.soff[i]} {self.send[i]} {self.ssize[i]}\n")
+
+    def save_paf(self, path: str | os.PathLike, names=None) -> None:
+        """minimap2 PAF (the interop format OverlapStore reads/writes,
+        overlap_store.cpp FromPafLine): coordinates on the forward strand of
+        the query, strand column +/-, matches approximated from identity."""
+        opener = gzip.open if str(path).endswith(".gz") else open
+        qoff_f, qend_f = self.fwd_query_range()
+        with opener(path, "wt") as f:
+            for i in range(len(self)):
+                qn = names[self.qid[i]] if names is not None else str(self.qid[i])
+                sn = names[self.sid[i]] if names is not None else str(self.sid[i])
+                alen = int(max(qend_f[i] - qoff_f[i], self.send[i] - self.soff[i]))
+                nmatch = int(alen * float(self.ident[i]) / 100.0)
+                strand = "-" if (self.qdir[i] != self.sdir[i]) else "+"
+                f.write(f"{qn}\t{self.qsize[i]}\t{qoff_f[i]}\t{qend_f[i]}\t{strand}\t"
+                        f"{sn}\t{self.ssize[i]}\t{self.soff[i]}\t{self.send[i]}\t"
+                        f"{nmatch}\t{alen}\t60\n")
 
     @classmethod
     def load_paf(cls, path: str | os.PathLike, name2id=None) -> "M4Records":

@@ -180,3 +180,22 @@ def test_backtrack_cols_matches_ops_to_cols():
     np.testing.assert_array_equal(np.asarray(lead0), np.asarray(lead1))
     np.testing.assert_array_equal(np.asarray(cols0), np.asarray(cols1))
     np.testing.assert_array_equal(np.asarray(insb0), np.asarray(insb1))
+
+
+def test_diag_sub_matrix_pallas_matches_xla():
+    """The Mosaic ENC builder must reproduce the XLA Hankel-stack oracle."""
+    from necat_tpu.align.pallas_banded import (_diag_sub_matrix,
+                                               _diag_sub_matrix_pallas)
+    rng = np.random.default_rng(6)
+    PB, L, W, CBLK = 16, 512, 64, 128
+    MC = 512
+    a = rng.integers(0, 4, (PB, L)).astype(np.uint8)
+    b = rng.integers(0, 4, (PB, L)).astype(np.uint8)
+    la = rng.integers(100, L, PB).astype(np.int32)
+    lb = rng.integers(100, L, PB).astype(np.int32)
+    ref = _diag_sub_matrix(jnp.asarray(a), jnp.asarray(b),
+                           jnp.asarray(la), jnp.asarray(lb), W, MC)
+    out = _diag_sub_matrix_pallas(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(la), jnp.asarray(lb), W, MC,
+                                  CBLK, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -71,3 +71,37 @@ def test_is_nonrepeat_sequence():
     rng = np.random.default_rng(2)
     assert is_nonrepeat_sequence(rng.integers(0, 4, 3000).astype(np.uint8))
     assert not is_nonrepeat_sequence(np.tile(np.array([0, 1], np.uint8), 1500))
+
+
+def test_m4a_and_paf_save_roundtrip(tmp_path):
+    """save() extension dispatch: .m4a carries read names (ToM4aLine,
+    overlap_store.cpp:297-307); .paf round-trips through load_paf."""
+    m4 = M4Records(
+        qid=np.array([0, 1], np.int32), sid=np.array([1, 2], np.int32),
+        ident=np.array([91.5, 88.25], np.float32),
+        vscore=np.array([500, 400], np.int32),
+        qdir=np.array([0, 1], np.int8),
+        qoff=np.array([10, 20], np.int32), qend=np.array([900, 800], np.int32),
+        qsize=np.array([1000, 1000], np.int32),
+        sdir=np.zeros(2, np.int8),
+        soff=np.array([5, 50], np.int32), send=np.array([890, 830], np.int32),
+        ssize=np.array([950, 1200], np.int32))
+    names = ["ra", "rb", "rc"]
+    p_m4a = tmp_path / "x.m4a"
+    m4.save(p_m4a, names=names)
+    txt = open(p_m4a).read().splitlines()
+    assert txt[0].split()[:2] == ["ra", "rb"]
+    assert len(txt) == 2 and len(txt[0].split()) == 12
+
+    p_paf = tmp_path / "x.paf.gz"
+    m4.save(p_paf, names=names)
+    back = M4Records.load_any(p_paf, name2id={n: i for i, n in enumerate(names)})
+    assert len(back) == 2
+    np.testing.assert_array_equal(back.qid, m4.qid)
+    np.testing.assert_array_equal(back.sid, m4.sid)
+    np.testing.assert_array_equal(back.qdir, m4.qdir)
+    # PAF stores forward-strand query coords; loader converts back
+    np.testing.assert_array_equal(back.qoff, m4.qoff)
+    np.testing.assert_array_equal(back.qend, m4.qend)
+    np.testing.assert_array_equal(back.soff, m4.soff)
+    np.testing.assert_array_equal(back.send, m4.send)
