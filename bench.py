@@ -41,9 +41,10 @@ def main() -> int:
     coverage = float(os.environ.get("BENCH_COVERAGE", 20))
     genome, store, _ = gen_benchmark_reads(genome_size=genome_size,
                                            coverage=coverage, seed=7)
+    max_hits = int(os.environ.get("BENCH_MAX_HITS", 1 << 21))
     t0 = time.time()
     cands = find_all_candidates(store, store,
-                                MapOptions(max_hits=1 << 21, max_pairs=8192),
+                                MapOptions(max_hits=max_hits, max_pairs=8192),
                                 pairwise=True)
     call = Candidates.concat([cands, cands.swap_roles()])
     recs = correct_reads(store, call, CnsOptions())

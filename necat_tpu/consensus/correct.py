@@ -364,6 +364,10 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
                 res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
                                    jnp.asarray(tb), jnp.asarray(tlens),
                                    jnp.asarray(aq), jnp.asarray(at), W=W)
+                try:  # start the d2h copy now; phase 2 reads without a sync
+                    res.stats.copy_to_host_async()
+                except Exception:
+                    pass
             pending.append((sel, res, qb, n_real, aq, at))
         # phase 2: collect
         for sel, res, qb, n_real, aq, at in pending:

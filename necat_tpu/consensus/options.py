@@ -32,8 +32,11 @@ class CnsOptions:
                                    # suppresses spurious homopolymer inserts at low coverage
                                    # without dropping real inserts, whose support is ~0.7*cov)
     raw_min_gap: int = 1000        # uncorrected interval passthrough (get_raw_intvs)
-    # batching
-    templates_per_batch: int = 32
+    # batching: more templates per bucket => fuller pair chunks (waves fan out
+    # TB*wave pairs split across length tiers; at TB=32 chunks averaged ~60/128
+    # real pairs). Weights tensor is (TB+1)*max_delta*5*Lt f32 — ~425 MB at
+    # TB=64, Lt=40k; fits v5e HBM with the donated update chain.
+    templates_per_batch: int = 64
     pairs_per_chunk: int = 512
     band_width: int = 128
     # long-indel rescue: re-extend hanging pairs with a wider band, the TPU

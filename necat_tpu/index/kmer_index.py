@@ -15,6 +15,7 @@ which indexes across PackedDB sequence boundaries).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,10 @@ class KmerIndex:
     sorted_hashes: jax.Array  # int32[M]
     sorted_positions: jax.Array  # int32[M], global offsets into the volume's flat bases
     bucket_starts: jax.Array  # int32[2^B + 1] — directory over hash top bits
+    # binary-search step bound: ceil(log2(largest bucket)) + 1. The directory
+    # narrows every query to one bucket, so searching log2(M) steps (25+ at
+    # 30M k-mers) wasted ~2.5x of the lookup; buckets are ~M/2^16 entries.
+    n_search_steps: int = 32
 
     @property
     def n_kmers(self) -> int:
@@ -81,6 +86,7 @@ class KmerIndex:
                 sorted_hashes=jnp.asarray(sh, dtype=jnp.int32),
                 sorted_positions=jnp.asarray(sp, dtype=jnp.int32),
                 bucket_starts=jnp.asarray(bucket_starts, dtype=jnp.int32),
+                n_search_steps=_search_steps(bucket_starts),
             )
         hashes = kmer_hashes_flat(bases, k)
         n = len(hashes)
@@ -106,6 +112,7 @@ class KmerIndex:
             sorted_hashes=jnp.asarray(sh, dtype=jnp.int32),
             sorted_positions=jnp.asarray(sp, dtype=jnp.int32),
             bucket_starts=jnp.asarray(bucket_starts, dtype=jnp.int32),
+            n_search_steps=_search_steps(bucket_starts),
         )
 
     def lookup_ranges(self, query_hashes: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -116,16 +123,25 @@ class KmerIndex:
         """
         return _lookup_ranges(
             self.sorted_hashes, self.bucket_starts, query_hashes,
-            2 * self.k - self.n_bucket_bits, self.occ_cutoff)
+            2 * self.k - self.n_bucket_bits, self.occ_cutoff,
+            self.n_search_steps)
 
 
-@jax.jit
-def _lookup_ranges(sorted_hashes, bucket_starts, qh, shift, occ_cutoff):
+def _search_steps(bucket_starts) -> int:
+    counts = np.diff(np.asarray(bucket_starts))
+    mx = int(counts.max()) if len(counts) else 1
+    return int(np.ceil(np.log2(max(2, mx)))) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _lookup_ranges(sorted_hashes, bucket_starts, qh, shift, occ_cutoff,
+                   n_steps: int | None = None):
     bucket = (qh >> shift).astype(jnp.int32)
     lo = bucket_starts[bucket]
     hi = bucket_starts[bucket + 1]
     # binary search for [first >= qh, first > qh) within [lo, hi)
-    n_steps = int(np.ceil(np.log2(max(2, sorted_hashes.shape[0])))) + 1
+    if n_steps is None:
+        n_steps = int(np.ceil(np.log2(max(2, sorted_hashes.shape[0])))) + 1
 
     def body(_, state):
         lo_l, hi_l, lo_r, hi_r = state

@@ -150,7 +150,8 @@ def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int, max_seeds:
 
 def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offsets,
                        batch, lens, soff_limit, *, k: int, shift: int,
-                       occ_cutoff: int, scan_window: int, opts: MapOptions):
+                       occ_cutoff: int, scan_window: int, opts: MapOptions,
+                       n_steps: int | None = None):
     """Pure fused candidate-detection step (hashing -> lookup -> hit expansion ->
     pair grouping -> chain DP). Used directly under jit and under shard_map
     (parallel/mesh.py). Returns dict of fixed-shape arrays including a packed
@@ -158,7 +159,8 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
     from necat_tpu.index.kmer_index import _lookup_ranges, query_kmer_hashes
 
     qh, qoffs, kvalid = query_kmer_hashes(batch, lens, k, scan_window)
-    start, count = _lookup_ranges(sorted_hashes, bucket_starts, qh, shift, occ_cutoff)
+    start, count = _lookup_ranges(sorted_hashes, bucket_starts, qh, shift,
+                                  occ_cutoff, n_steps)
     count = jnp.where(kvalid, count, 0)
     qrow, kcol, pos, valid, total = _expand_hits(start, count, sorted_positions,
                                                  soff_limit, opts.max_hits)
@@ -180,9 +182,10 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_candidates_jit(k, shift, occ_cutoff, scan_window, opts):
+def _fused_candidates_jit(k, shift, occ_cutoff, scan_window, opts, n_steps=None):
     f = functools.partial(candidates_forward, k=k, shift=shift,
-                          occ_cutoff=occ_cutoff, scan_window=scan_window, opts=opts)
+                          occ_cutoff=occ_cutoff, scan_window=scan_window,
+                          opts=opts, n_steps=n_steps)
     return jax.jit(f)
 
 
@@ -213,7 +216,8 @@ def find_candidates_batch(
         soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
 
     fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
-                               index.occ_cutoff, opts.scan_window, opts)
+                               index.occ_cutoff, opts.scan_window, opts,
+                               index.n_search_steps)
     from necat_tpu.utils.logging import timed
     with timed("cand.dispatch"):
         g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
@@ -222,6 +226,13 @@ def find_candidates_batch(
     # host-side filtering & packing (single transfer)
     with timed("cand.stats_sync"):
         st = np.asarray(g["stats"])
+    n_hits = int(np.asarray(g["n_hits"])[0])
+    if n_hits >= opts.max_hits:
+        from necat_tpu.utils.logging import logger
+        logger.warning(
+            "k-mer hit buffer full (%d >= max_hits=%d): candidates beyond the "
+            "cap are dropped — raise MapOptions.max_hits or use volume tiling "
+            "(overlap_all_vs_all(vol_size=...))", n_hits, opts.max_hits)
     pv = st[2].astype(bool)
     n_seeds = st[3]
     score = st[4]
