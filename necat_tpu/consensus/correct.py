@@ -144,14 +144,19 @@ def correct_reads(
     order = np.argsort(-lens[tids_all], kind="stable")
     tids_sorted = tids_all[order]
     TB = opts.templates_per_batch
+    # one-time 2-bit upload; per-chunk pair batches are gathered ON DEVICE
+    # (the tunnel-attached TPU link runs ~34 MB/s — raw uint8 re-uploads were
+    # the dominant correction cost; see io/devstore.py)
+    from necat_tpu.io.devstore import DeviceReadStore
+    dev = DeviceReadStore(store) if len(tids_sorted) else None
     for bstart in range(0, len(tids_sorted), TB):
         tb_ids = tids_sorted[bstart:bstart + TB]
-        recs = _correct_bucket(store, cands, groups, tb_ids, opts, verbose)
+        recs = _correct_bucket(store, dev, cands, groups, tb_ids, opts, verbose)
         records.extend(recs)
     return records
 
 
-def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: bool):
+def _correct_bucket(store, dev, cands, groups, tb_ids, opts: CnsOptions, verbose: bool):
     n_real_templates = len(tb_ids)
     TB = opts.templates_per_batch  # fixed batch shape; pad the tail bucket
     if n_real_templates < TB:
@@ -218,7 +223,8 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
 
         # extension in query-length-bucketed chunks
         with _timed('cns.extend_pairs_total'):
-            results = _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts)
+            results = _extend_pairs(store, dev, cands, tb_ids, tlens_np, rows,
+                                    cidx, Lt, opts)
 
         # round 0: estimate identity cutoffs
         if round_id == 0:
@@ -306,14 +312,17 @@ def _correct_bucket(store, cands, groups, tb_ids, opts: CnsOptions, verbose: boo
     return records
 
 
-def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOptions):
+def _extend_pairs(store, dev, cands, tb_ids, tlens_np, rows, cidx, Lt, opts: CnsOptions):
     """Extend all pairs of a round; returns host dict of per-pair results and keeps
     device-side ops under keys (chunked).
 
     Targets are gathered as WINDOWS around each candidate anchor (bounded by
     1.3x the query side, oc_aligner.c:127-131), so padded target size scales
-    with read length even for huge templates (polish segments)."""
+    with read length even for huge templates (polish segments). Query rows and
+    target windows are materialized on device from the 2-bit packed store
+    (DeviceReadStore.gather) — the per-chunk h2d is only the row descriptors."""
     qsizes = cands.qsize[cidx]
+    t_goff = dev.offsets[tb_ids]  # global base offset of each template row
     left_need = (cands.qbeg[cidx].astype(np.int64) * 13) // 10 + 600
     right_need = ((cands.qsize[cidx] - cands.qbeg[cidx]).astype(np.int64) * 13) // 10 + 600
     ws = np.maximum(cands.sbeg[cidx] - left_need, 0)
@@ -345,24 +354,31 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
             # extension+scatter compile count by the number of length tiers)
             PB = min(PBmax, 128 if n_real <= 128 else 512)
             with timed("cns.chunk_build"):
-                qb = np.zeros((PB, L), np.uint8)
-                tb = np.zeros((PB, L), np.uint8)
+                csel = cidx[sel]
+                qg = np.zeros(PB, np.int64)
+                qglen = np.zeros(PB, np.int64)
+                qrc = np.zeros(PB, bool)
+                tg = np.zeros(PB, np.int64)
+                tglen = np.zeros(PB, np.int64)
                 qlens = np.zeros(PB, np.int32)
                 tlens = np.zeros(PB, np.int32)
                 aq = np.zeros(PB, np.int32)
                 at = np.zeros(PB, np.int32)
-                for k, p in enumerate(sel):
-                    c = cidx[p]
-                    s = store.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
-                    qb[k, :len(s)] = s
-                    tb[k, :wlen[p]] = tbatch_np[rows[p], ws[p]:we[p]]
-                    qlens[k] = cands.qsize[c]
-                    tlens[k] = wlen[p]
-                    aq[k] = cands.qbeg[c]
-                    at[k] = cands.sbeg[c] - ws[p]
+                qids = cands.qid[csel]
+                qg[:n_real] = dev.offsets[qids]
+                qglen[:n_real] = dev.offsets[qids + 1] - qg[:n_real]
+                qrc[:n_real] = cands.qdir[csel].astype(bool)
+                tg[:n_real] = t_goff[rows[sel]] + ws[sel]
+                tglen[:n_real] = wlen[sel]
+                qlens[:n_real] = cands.qsize[csel]
+                tlens[:n_real] = wlen[sel]
+                aq[:n_real] = cands.qbeg[csel]
+                at[:n_real] = cands.sbeg[csel] - ws[sel]
             with timed("cns.extend_dispatch"):
-                res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
-                                   jnp.asarray(tb), jnp.asarray(tlens),
+                qb = dev.gather(qg, qglen, qrc, L)
+                tb = dev.gather(tg, tglen, np.zeros(PB, bool), L)
+                res = extend_batch(qb, jnp.asarray(qlens),
+                                   tb, jnp.asarray(tlens),
                                    jnp.asarray(aq), jnp.asarray(at), W=W)
                 try:  # start the d2h copy now; phase 2 reads without a sync
                     res.stats.copy_to_host_async()
@@ -406,7 +422,7 @@ def _extend_pairs(store, cands, tbatch_np, tlens_np, rows, cidx, Lt, opts: CnsOp
                 out["tend"][sel] = st[3, r] + ws[sel]
                 out["n_cols"][sel] = st[4, r]
                 out["ident"][sel] = ident
-            out["chunks"].append([sel, res, jnp.asarray(qb), ws[sel],
+            out["chunks"].append([sel, res, qb, ws[sel],
                                   aq.copy(), at.copy(), live])
 
     run_pass(np.arange(len(cidx)), opts.band_width, True)

@@ -1,0 +1,105 @@
+"""Device-resident packed read store + on-device batch gather.
+
+The host<->device link of a tunnel-attached TPU moves bulk data at ~34 MB/s
+(measured: 370 ms for one [512, 12288] uint8 pair batch), so re-uploading raw
+sequence bytes for every extension chunk dominated correction wall time. This
+module uploads the 2-bit packed word buffer ONCE (PackedDB's .pac role,
+src/common/packed_db.c:291-315 — 4 bytes per 16 bases) and materializes padded
+[P, L] uint8 batches on device from (start, length, revcomp) row descriptors,
+so the per-chunk h2d traffic is a few KB of indices.
+
+Gather strategy (everything tile-aligned for the TPU vector unit — no per-lane
+dynamic gathers, which run ~45 M elem/s through XLA on this chip):
+  1. coarse: fetch whole 128-word blocks covering each row (one row-gather),
+  2. fine word shift: 7 conditional power-of-two shifts (start_word % 128),
+  3. unpack 16 bases/word elementwise,
+  4. fine base shift: 4 conditional shifts (start_base % 16),
+  5. revcomp rows: complement + flip + one block shift (tags._row_shift).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from necat_tpu.io.readstore import ReadStore, pack_2bit
+
+
+class DeviceReadStore:
+    """2-bit packed store uploaded once; rows gathered on device.
+
+    Attributes:
+      words: device u32[NW] (NW % 128 == 0), 16 bases/word, base 0 in high bits.
+      offsets: HOST int64[n_reads + 1] (row descriptors are built on host).
+    """
+
+    def __init__(self, store: ReadStore):
+        if store.total_bases >= (1 << 31):
+            raise ValueError("DeviceReadStore requires < 2^31 bases; "
+                             "shard into volumes first (ReadStore.volumes)")
+        words = pack_2bit(store.bases)
+        pad = (-len(words)) % 128
+        if pad:
+            words = np.concatenate([words, np.zeros(pad, np.uint32)])
+        self.words = jnp.asarray(words)
+        self.offsets = store.offsets.astype(np.int64)
+
+    def gather(self, gstart: np.ndarray, glen: np.ndarray, rc: np.ndarray,
+               L: int) -> jax.Array:
+        """uint8[P, L] batch: row p = bases[gstart_p : gstart_p + glen_p]
+        (revcomp'd where rc_p), zero-padded to L. L % 2048 == 0."""
+        return _gather_rows(self.words, jnp.asarray(np.asarray(gstart, np.int32)),
+                            jnp.asarray(np.asarray(glen, np.int32)),
+                            jnp.asarray(np.asarray(rc, bool)), L)
+
+    def read_rows(self, ids: np.ndarray, rc: np.ndarray, L: int) -> jax.Array:
+        """Whole-read rows (store.get equivalent) padded to L."""
+        ids = np.asarray(ids)
+        gstart = self.offsets[ids]
+        glen = self.offsets[ids + 1] - gstart
+        return self.gather(gstart, glen, rc, L)
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _gather_rows(words, gstart, glen, rc, L: int):
+    from necat_tpu.consensus.tags import _row_shift
+    P = gstart.shape[0]
+    nw = L // 16
+    w0 = gstart >> 4
+    r_w = (w0 & 127).astype(jnp.int32)
+    nblk = nw // 128 + 1
+    WB = words.reshape(-1, 128)
+    idx = (w0 >> 7)[:, None] + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, WB.shape[0] - 1)
+    G = jnp.take(WB, idx, axis=0).reshape(P, nblk * 128)      # [P, nw+128] u32
+    # fine word shift: y[k] = G[k + r_w]
+    y = G
+    k = 64
+    while k >= 1:
+        sh = jnp.concatenate([y[:, k:], jnp.zeros((P, k), y.dtype)], axis=1)
+        y = jnp.where((r_w[:, None] & k) != 0, sh, y)
+        k //= 2
+    y = y[:, : nw + 1]
+    # unpack 16 bases/word (base 0 in the high bits, readstore.pack_2bit)
+    shifts = (jnp.arange(15, -1, -1, dtype=jnp.uint32) * 2)[None, None, :]
+    B = ((y[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    B = B.reshape(P, (nw + 1) * 16)
+    # fine base shift: out[j] = B[j + (gstart % 16)]
+    r_b = (gstart & 15).astype(jnp.int32)
+    k = 8
+    while k >= 1:
+        sh = jnp.concatenate([B[:, k:], jnp.zeros((P, k), B.dtype)], axis=1)
+        B = jnp.where((r_b[:, None] & k) != 0, sh, B)
+        k //= 2
+    B = B[:, :L]
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = j < glen[:, None]
+    B = jnp.where(valid, B, 0)
+    # revcomp rows: out[j] = 3 - B[glen-1-j]  (flip, then pull left by L-glen)
+    Bf = (jnp.uint8(3) - B)[:, ::-1]
+    Brc = _row_shift(Bf, (glen - L).astype(jnp.int32))
+    out = jnp.where(rc[:, None], Brc, B)
+    return jnp.where(valid, out, 0)

@@ -46,11 +46,13 @@ def find_all_candidates(
     subject_read_start: global read id of the volume's first read (oc2pmov's
     volume offset). query_ids restricts/labels the queries (global ids).
     """
+    from necat_tpu.io.devstore import DeviceReadStore
     from necat_tpu.utils.logging import timed
     if index is None:
         with timed("cand.index_build"):
             index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
                                     occ_cutoff=opts.occ_cutoff)
+    qdev = DeviceReadStore(qstore)
     sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     parts = []
@@ -63,8 +65,8 @@ def find_all_candidates(
             qidx = np.concatenate([qidx, np.repeat(qidx[-1:], query_batch_size - n_real)])
         pad = _bucket_len(int(qstore.lengths[qidx].max()))
         for qdir in (0, 1):
-            batch, lens = qstore.padded_batch(qidx, pad_to=pad, multiple=1, rc=bool(qdir))
-            lens = lens.copy()
+            batch = qdev.read_rows(qidx, np.full(len(qidx), bool(qdir)), pad)
+            lens = qstore.lengths[qidx].astype(np.int32)
             lens[n_real:] = 0  # padding rows produce no k-mers, hence no hits
             parts.append(find_candidates_batch(
                 index, sub_off, subject_read_start, batch, lens,
@@ -89,10 +91,12 @@ def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, n
     return ws.astype(np.int64), we.astype(np.int64)
 
 
-def _extend_subset(cands, qstore, sstore, idxs, ws, wlen, band_width,
+def _extend_subset(cands, qdev, sdev, idxs, ws, wlen, band_width,
                    pairs_per_chunk, out, progress=None):
     """Extend the given candidate indices with band W=band_width, writing
-    endpoint/identity results into `out` arrays (indexed by candidate row)."""
+    endpoint/identity results into `out` arrays (indexed by candidate row).
+    Pair batches are gathered on device from the 2-bit packed stores (qdev,
+    sdev: DeviceReadStore) — per-chunk h2d is only the row descriptors."""
     tier = np.array([_bucket_len(int(max(cands.qsize[c], wlen[c]))) for c in idxs])
     order = idxs[np.lexsort((cands.qsize[idxs], tier))]
     tier_of = dict(zip(idxs.tolist(), tier.tolist()))
@@ -105,23 +109,30 @@ def _extend_subset(cands, qstore, sstore, idxs, ws, wlen, band_width,
         sel = sel[[tier_of[int(c)] == L for c in sel]]
         cs += len(sel)
         n_real = len(sel)
-        qb = np.zeros((PB, L), np.uint8)
-        tb = np.zeros((PB, L), np.uint8)
+        qg = np.zeros(PB, np.int64)
+        qglen = np.zeros(PB, np.int64)
+        qrc = np.zeros(PB, bool)
+        tg = np.zeros(PB, np.int64)
+        tglen = np.zeros(PB, np.int64)
         qlens = np.zeros(PB, np.int32)
         tlens = np.zeros(PB, np.int32)
         aq = np.zeros(PB, np.int32)
         at = np.zeros(PB, np.int32)
-        for k, c in enumerate(sel):
-            qs = qstore.get(int(cands.qid[c]), rc=bool(cands.qdir[c]))
-            qb[k, :len(qs)] = qs
-            ts = sstore.get(int(cands.sid[c]))[ws[c]:ws[c] + wlen[c]]
-            tb[k, :len(ts)] = ts
-            qlens[k] = cands.qsize[c]
-            tlens[k] = wlen[c]
-            aq[k] = cands.qbeg[c]
-            at[k] = cands.sbeg[c] - ws[c]
-        res = extend_batch(jnp.asarray(qb), jnp.asarray(qlens),
-                           jnp.asarray(tb), jnp.asarray(tlens),
+        qids = cands.qid[sel]
+        sids = cands.sid[sel]
+        qg[:n_real] = qdev.offsets[qids]
+        qglen[:n_real] = qdev.offsets[qids + 1] - qg[:n_real]
+        qrc[:n_real] = cands.qdir[sel].astype(bool)
+        tg[:n_real] = sdev.offsets[sids] + ws[sel]
+        tglen[:n_real] = wlen[sel]
+        qlens[:n_real] = cands.qsize[sel]
+        tlens[:n_real] = wlen[sel]
+        aq[:n_real] = cands.qbeg[sel]
+        at[:n_real] = cands.sbeg[sel] - ws[sel]
+        qb = qdev.gather(qg, qglen, qrc, L)
+        tb = sdev.gather(tg, tglen, np.zeros(PB, bool), L)
+        res = extend_batch(qb, jnp.asarray(qlens),
+                           tb, jnp.asarray(tlens),
                            jnp.asarray(aq), jnp.asarray(at), W=band_width)
         st = np.asarray(res.stats)          # single host transfer: [6, PB]
         out["qoff"][sel] = st[0, :n_real]
@@ -163,18 +174,21 @@ def extend_candidates(
     wider band — the TPU replacement for the reference's DALIGNER O(nd) rescue
     cascade (consensus_aux.c:123-215, asm_pm sensitive-daligner retry): a wider
     band covers proportionally longer clustered indels."""
+    from necat_tpu.io.devstore import DeviceReadStore
     n = len(cands)
     ws, we = subject_windows(cands)
     wlen = we - ws
     out = {k: np.zeros(n, np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
     out["ident"] = np.zeros(n, np.float64)
-    _extend_subset(cands, qstore, sstore, np.arange(n), ws, wlen, band_width,
+    qdev = DeviceReadStore(qstore)
+    sdev = qdev if sstore is qstore else DeviceReadStore(sstore)
+    _extend_subset(cands, qdev, sdev, np.arange(n), ws, wlen, band_width,
                    pairs_per_chunk, out, progress)
     if rescue_long_indels and n:
         bad = rescue_hangs(cands, np.arange(n), out["qoff"], out["qend"])
         if len(bad):
             prev = {k: out[k][bad].copy() for k in out}
-            _extend_subset(cands, qstore, sstore, bad, ws, wlen,
+            _extend_subset(cands, qdev, sdev, bad, ws, wlen,
                            band_width * rescue_band_scale, pairs_per_chunk, out)
             # keep the wider-band result only where it aligned more columns
             # (reference falls back to the small-edlib result, :203-213)
