@@ -42,12 +42,15 @@ def main() -> int:
     genome, store, _ = gen_benchmark_reads(genome_size=genome_size,
                                            coverage=coverage, seed=7)
     max_hits = int(os.environ.get("BENCH_MAX_HITS", 1 << 21))
+    from necat_tpu.utils.logging import timed
     t0 = time.time()
-    cands = find_all_candidates(store, store,
-                                MapOptions(max_hits=max_hits, max_pairs=8192),
-                                pairwise=True)
-    call = Candidates.concat([cands, cands.swap_roles()])
-    recs = correct_reads(store, call, CnsOptions())
+    with timed("bench.candidates"):
+        cands = find_all_candidates(store, store,
+                                    MapOptions(max_hits=max_hits, max_pairs=8192),
+                                    pairwise=True)
+        call = Candidates.concat([cands, cands.swap_roles()])
+    with timed("bench.correct"):
+        recs = correct_reads(store, call, CnsOptions())
     wall = time.time() - t0
     ncorr = len({r.tid for r in recs if r.corrected})
     reads_per_s = ncorr / wall

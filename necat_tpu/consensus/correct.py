@@ -148,7 +148,8 @@ def correct_reads(
     # (the tunnel-attached TPU link runs ~34 MB/s — raw uint8 re-uploads were
     # the dominant correction cost; see io/devstore.py)
     from necat_tpu.io.devstore import DeviceReadStore
-    dev = DeviceReadStore(store) if len(tids_sorted) else None
+    with timed("cns.devstore_init"):
+        dev = DeviceReadStore(store) if len(tids_sorted) else None
     for bstart in range(0, len(tids_sorted), TB):
         tb_ids = tids_sorted[bstart:bstart + TB]
         recs = _correct_bucket(store, dev, cands, groups, tb_ids, opts, verbose)
@@ -162,7 +163,8 @@ def _correct_bucket(store, dev, cands, groups, tb_ids, opts: CnsOptions, verbose
     if n_real_templates < TB:
         tb_ids = np.concatenate([tb_ids, np.repeat(tb_ids[-1:], TB - n_real_templates)])
     Lt = _bucket_len(int(store.lengths[tb_ids].max()))
-    tbatch_np, tlens_np = store.padded_batch(tb_ids, pad_to=Lt, multiple=1)
+    with timed("cns.bucket_setup"):
+        tbatch_np, tlens_np = store.padded_batch(tb_ids, pad_to=Lt, multiple=1)
     tlens_np = tlens_np.copy()
     tlens_np[n_real_templates:] = 0  # padding rows emit nothing
     D = opts.max_delta
@@ -227,6 +229,7 @@ def _correct_bucket(store, dev, cands, groups, tb_ids, opts: CnsOptions, verbose
                                     cidx, Lt, opts)
 
         # round 0: estimate identity cutoffs
+        _t0 = _tb()
         if round_id == 0:
             for b in np.unique(rows):
                 sel = rows == b
@@ -257,12 +260,16 @@ def _correct_bucket(store, dev, cands, groups, tb_ids, opts: CnsOptions, verbose
             pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, ts, 5000, 100)
         ok &= pass_ident
 
+        _lg._TIMERS['cns.accept'] += _tb() - _t0
+
         # scatter accepted tags
         with _timed('cns.scatter_round_total'):
             weights, covten = _scatter_round(results, rows, ok, weights, covten, tlens_np, TB)
+        _t0 = _tb()
         for i in np.flatnonzero(ok):
             b = rows[i]
             cov_host[b, tl[i]:tr[i]] += 1
+        _lg._TIMERS['cns.cov_host'] += _tb() - _t0
         round_id += 1
 
     # consensus call + bit-packed download (4 B/position) + host compaction

@@ -200,25 +200,32 @@ def find_candidates_batch(
     sub_sizes: np.ndarray,            # int32[NS] subject lengths (host)
     opts: MapOptions,
     pairwise: bool,
+    sub_offsets_host: np.ndarray | None = None,  # host copy of sub_offsets
 ) -> Candidates:
     """Run the full candidate pipeline for one padded query batch on one strand
     (one fused device dispatch + one stats transfer)."""
-    B, L = batch.shape
-    if pairwise:
-        # suppress hits at subject positions >= start of the query read itself
-        local = qids - sub_vol_read_start
-        ns = int(sub_offsets.shape[0]) - 1
-        in_vol = (local >= 0) & (local < ns)
-        limit_np = np.where(in_vol, np.asarray(sub_offsets)[np.clip(local, 0, ns - 1)],
-                            np.int32(np.iinfo(np.int32).max))
-        soff_limit = jnp.asarray(limit_np.astype(np.int32))
-    else:
-        soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
-
-    fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
-                               index.occ_cutoff, opts.scan_window, opts,
-                               index.n_search_steps)
     from necat_tpu.utils.logging import timed
+    B, L = batch.shape
+    with timed("cand.limits"):
+        if pairwise:
+            # suppress hits at subject positions >= start of the query read itself
+            # (host offsets: a d2h of the device copy would serialize with the
+            # queued candidate kernel through the tunnel — 13 s/call measured)
+            off_h = (np.asarray(sub_offsets) if sub_offsets_host is None
+                     else sub_offsets_host)
+            local = qids - sub_vol_read_start
+            ns = int(sub_offsets.shape[0]) - 1
+            in_vol = (local >= 0) & (local < ns)
+            limit_np = np.where(in_vol, off_h[np.clip(local, 0, ns - 1)],
+                                np.int32(np.iinfo(np.int32).max))
+            soff_limit = jnp.asarray(limit_np.astype(np.int32))
+        else:
+            soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
+
+    with timed("cand.jit_lookup"):
+        fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
+                                   index.occ_cutoff, opts.scan_window, opts,
+                                   index.n_search_steps)
     with timed("cand.dispatch"):
         g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
                sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
@@ -226,7 +233,8 @@ def find_candidates_batch(
     # host-side filtering & packing (single transfer)
     with timed("cand.stats_sync"):
         st = np.asarray(g["stats"])
-    n_hits = int(np.asarray(g["n_hits"])[0])
+    with timed("cand.nhits_sync"):
+        n_hits = int(np.asarray(g["n_hits"])[0])
     if n_hits >= opts.max_hits:
         from necat_tpu.utils.logging import logger
         logger.warning(

@@ -52,8 +52,9 @@ def find_all_candidates(
         with timed("cand.index_build"):
             index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
                                     occ_cutoff=opts.occ_cutoff)
-    qdev = DeviceReadStore(qstore)
-    sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
+    with timed("cand.devstore_init"):
+        qdev = DeviceReadStore(qstore)
+        sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
@@ -65,16 +66,20 @@ def find_all_candidates(
             qidx = np.concatenate([qidx, np.repeat(qidx[-1:], query_batch_size - n_real)])
         pad = _bucket_len(int(qstore.lengths[qidx].max()))
         for qdir in (0, 1):
-            batch = qdev.read_rows(qidx, np.full(len(qidx), bool(qdir)), pad)
+            with timed("cand.read_rows"):
+                batch = qdev.read_rows(qidx, np.full(len(qidx), bool(qdir)), pad)
             lens = qstore.lengths[qidx].astype(np.int32)
             lens[n_real:] = 0  # padding rows produce no k-mers, hence no hits
-            parts.append(find_candidates_batch(
-                index, sub_off, subject_read_start, batch, lens,
-                qidx.astype(np.int32), qdir, sub_sizes, opts, pairwise=pairwise))
+            with timed("cand.batch_total"):
+                parts.append(find_candidates_batch(
+                    index, sub_off, subject_read_start, batch, lens,
+                    qidx.astype(np.int32), qdir, sub_sizes, opts, pairwise=pairwise,
+                    sub_offsets_host=sstore.offsets))
         if progress:
             progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")
-    cands = Candidates.concat(parts)
-    return top_n_per_query(cands, opts.ncan)
+    with timed("cand.topn"):
+        cands = Candidates.concat(parts)
+        return top_n_per_query(cands, opts.ncan)
 
 
 def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, np.ndarray]:
