@@ -6,7 +6,12 @@ consensus) on the same simulated read set that the reference NECAT baseline was
 measured on (BASELINE_MEASURED.json), and prints ONE JSON line:
 
   {"metric": "corrected_reads_per_s_per_chip", "value": N, "unit": "reads/s",
-   "vs_baseline": ratio_vs_20thread_reference, ...}
+   "vs_baseline": ratio_vs_20thread_reference, "breakdown": {...},
+   "pallas_check": "pass", "accuracy_ident_pct": ...}
+
+vs_baseline divides by the reference's 20-thread-extrapolated per-read rate
+(BASELINE_MEASURED.json); the per-read rate is dataset-size invariant, so the
+ratio holds for BENCH_GENOME_SIZE/BENCH_COVERAGE overrides too.
 
 The compilation cache warms across runs (first run on a fresh cache pays
 tens of seconds of XLA/Mosaic compiles).
@@ -21,33 +26,96 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("NECAT_TPU_JAX_CACHE",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("NECAT_TPU_TIMING", "1")
 
 from necat_tpu.utils.device import setup_runtime  # noqa: E402
 
 setup_runtime()
 
+import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
 from necat_tpu.consensus.correct import correct_reads  # noqa: E402
 from necat_tpu.consensus.options import CnsOptions  # noqa: E402
+from necat_tpu.io import simulate  # noqa: E402
 from necat_tpu.overlap.candidates import Candidates  # noqa: E402
 from necat_tpu.overlap.options import MapOptions  # noqa: E402
 from necat_tpu.overlap.overlapper import find_all_candidates  # noqa: E402
 from necat_tpu.utils.benchdata import gen_benchmark_reads  # noqa: E402
+from necat_tpu.utils.logging import timed, timing_report  # noqa: E402
+
+
+def check_pallas() -> str:
+    """A/B the Pallas forward/backtrack against the lax.scan oracle ON THE
+    BENCH BACKEND (the oracle tests only run on CPU, where Pallas is skipped)."""
+    if jax.default_backend() != "tpu":
+        return "skipped(cpu)"
+    import jax.numpy as jnp
+    from necat_tpu.align import banded
+    rng = np.random.default_rng(42)
+    em = simulate.ErrorModel(sub=0.05, ins=0.05, dele=0.05)
+    P, L, W = 8, 2048, 128
+    a = np.zeros((P, L), np.uint8)
+    b = np.zeros((P, L), np.uint8)
+    ql = np.zeros(P, np.int32)
+    tl = np.zeros(P, np.int32)
+    aq = np.zeros(P, np.int32)
+    at = np.zeros(P, np.int32)
+    for i in range(P):
+        t = rng.integers(0, 4, int(rng.integers(1200, 1900))).astype(np.uint8)
+        q = simulate.mutate(t, em, rng)[:L]
+        a[i, :len(q)] = q
+        b[i, :len(t)] = t
+        ql[i], tl[i] = len(q), len(t)
+        aq[i], at[i] = len(q) // 2, len(q) // 2
+    args = tuple(jnp.asarray(x) for x in (a, ql, b, tl, aq, at))
+    res_p = banded.extend_batch(*args, W=W)
+    os.environ["NECAT_TPU_NO_PALLAS"] = "1"
+    try:
+        res_s = banded.extend_batch(*args, W=W)
+    finally:
+        del os.environ["NECAT_TPU_NO_PALLAS"]
+    same_ident = np.allclose(np.asarray(res_p.ident), np.asarray(res_s.ident),
+                             atol=2.0)
+    same_cols = (np.abs(np.asarray(res_p.n_cols) - np.asarray(res_s.n_cols))
+                 <= 0.02 * np.maximum(np.asarray(res_s.n_cols), 1)).all()
+    # static vs adaptive band schedules may pick slightly different co-optimal
+    # paths; endpoints and identity must agree closely
+    return "pass" if (same_ident and same_cols) else "FAIL"
+
+
+def accuracy_sample(recs, reads, genome, st, sd, ln, n_sample=24):
+    idents = []
+    for r in recs:
+        if not r.corrected or len(idents) >= n_sample:
+            continue
+        i = r.tid
+        frac_l, frac_r = r.left / len(reads[i]), r.right / len(reads[i])
+        s0, L0 = int(st[i]), int(ln[i])
+        if sd[i] == 0:
+            a, b = s0 + int(frac_l * L0), s0 + int(frac_r * L0)
+        else:
+            a, b = s0 + int((1 - frac_r) * L0), s0 + int((1 - frac_l) * L0)
+        if b - a < 2000:
+            continue
+        seq = r.seq if sd[i] == 0 else (3 - r.seq[::-1]).astype(np.uint8)
+        idents.append(simulate.identity_to_genome(seq, genome, a, 0, b - a))
+    return round(float(np.mean(idents)), 2) if idents else None
 
 
 def main() -> int:
     genome_size = int(os.environ.get("BENCH_GENOME_SIZE", 200_000))
     coverage = float(os.environ.get("BENCH_COVERAGE", 20))
-    genome, store, _ = gen_benchmark_reads(genome_size=genome_size,
-                                           coverage=coverage, seed=7)
-    max_hits = int(os.environ.get("BENCH_MAX_HITS", 1 << 21))
-    from necat_tpu.utils.logging import timed
+    genome, store, (st, sd, ln) = gen_benchmark_reads(genome_size=genome_size,
+                                                      coverage=coverage, seed=7)
+    reads = [store.get(i) for i in range(store.n_reads)]
+    pallas_check = check_pallas()
+    mopts = MapOptions()
+    if "BENCH_MAX_HITS" in os.environ:
+        mopts = MapOptions(max_hits=int(os.environ["BENCH_MAX_HITS"]))
     t0 = time.time()
     with timed("bench.candidates"):
-        cands = find_all_candidates(store, store,
-                                    MapOptions(max_hits=max_hits, max_pairs=8192),
-                                    pairwise=True)
+        cands = find_all_candidates(store, store, mopts, pairwise=True)
         call = Candidates.concat([cands, cands.swap_roles()])
     with timed("bench.correct"):
         recs = correct_reads(store, call, CnsOptions())
@@ -57,18 +125,13 @@ def main() -> int:
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
-    vs = None
     try:
-        base = json.load(open(base_path))
-        # scale the measured per-read baseline if the dataset size differs
-        scale = (genome_size * coverage) / (200_000 * 20)
-        ref = base["reads_per_second_20threads_extrapolated"]
-        vs = round(reads_per_s / ref, 3) if scale == 1.0 else None
-        if vs is None:
-            vs = round(reads_per_s / ref, 3)  # per-read rate is size-invariant
+        ref = json.load(open(base_path))["reads_per_second_20threads_extrapolated"]
+        vs = round(reads_per_s / ref, 3)
     except Exception:
         vs = 0.0
 
+    breakdown = {k: v for k, (v, _) in timing_report().items()}
     print(json.dumps({
         "metric": "corrected_reads_per_s_per_chip",
         "value": round(reads_per_s, 3),
@@ -76,8 +139,11 @@ def main() -> int:
         "vs_baseline": vs,
         "corrected_reads": ncorr,
         "wall_s": round(wall, 1),
+        "accuracy_ident_pct": accuracy_sample(recs, reads, genome, st, sd, ln),
+        "pallas_check": pallas_check,
         "device": str(jax.devices()[0]),
         "dataset": f"synthetic {genome_size/1e3:.0f}kb x{coverage:.0f} ONT@15%err",
+        "breakdown": breakdown,
     }))
     return 0
 

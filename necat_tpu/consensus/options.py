@@ -37,6 +37,10 @@ class CnsOptions:
     # real pairs). Weights tensor is (TB+1)*max_delta*5*Lt f32 — ~425 MB at
     # TB=64, Lt=40k; fits v5e HBM with the donated update chain.
     templates_per_batch: int = 64
+    # buckets whose waves share one dispatch stream (the consensus tensors of
+    # all supergroup buckets are alive at once: memory = buckets * TB * D * 5
+    # * Lt * 4B, ~1 GB at 4 x 64 x 24k — sized for v5e HBM)
+    buckets_per_supergroup: int = 4
     pairs_per_chunk: int = 512
     band_width: int = 128
     # long-indel rescue: re-extend hanging pairs with a wider band, the TPU

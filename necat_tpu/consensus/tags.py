@@ -263,6 +263,11 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     M1 = assign.astype(f32)
     hp = jax.lax.Precision.HIGHEST
 
+    # the one-hot planes are exact in bf16 ({0,1}); with f32 Mw and HIGHEST
+    # precision the products are exact, and the bf16 HBM tensor halves the
+    # dominant traffic of this op
+    onehot_t = jnp.bfloat16
+
     t = jnp.arange(Lt, dtype=jnp.int32)[None, :]
     j_of_t = (t - at[:, None] + 1) if not reversed_part else (at[:, None] - t)
     tok = t < tsize[:, None]
@@ -288,8 +293,10 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     base0 = jnp.where(op0 == OP_DEL, GAP_CODE, (colsT >> 3) & 3)
     d0 = (base0[:, None, :] == jnp.arange(5, dtype=jnp.int32)[None, :, None]) \
         & act0[:, None, :]                                         # [P, 5, Lt]
-    w0 = jnp.einsum("bp,pcl->bcl", Mw, d0.astype(f32), precision=hp)
-    cov = jnp.einsum("bp,pl->bl", M1, act0.astype(f32), precision=hp)
+    w0 = jnp.einsum("bp,pcl->bcl", Mw, d0.astype(onehot_t), precision=hp,
+                    preferred_element_type=f32)
+    cov = jnp.einsum("bp,pl->bl", M1, act0.astype(onehot_t), precision=hp,
+                     preferred_element_type=f32)
 
     # ---- insertion planes from insb: delta d (1..D-1), base b (0..3)
     # fwd: a run lands at its own column's t; rev: one position further left
@@ -306,7 +313,8 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
         okd = kI >= d
         pl = (bd[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None]) \
             & okd[:, None, :]                                      # [P, 4, Lt]
-        wk.append(jnp.einsum("bp,pcl->bcl", Mw, pl.astype(f32), precision=hp))
+        wk.append(jnp.einsum("bp,pcl->bcl", Mw, pl.astype(onehot_t), precision=hp,
+                             preferred_element_type=f32))
     wk = jnp.stack(wk, axis=1)                                     # [TB, nd, 4, Lt]
 
     upd = jnp.concatenate([
@@ -333,6 +341,26 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     lin_all = jnp.concatenate(lin_parts)
     w_all = jnp.concatenate(w_parts)
     weights = weights.reshape(-1).at[lin_all].add(w_all).reshape(weights.shape)
+    return weights, coverage
+
+
+@functools.partial(jax.jit, donate_argnames=("weights", "coverage"))
+def scatter_chunk_mm(weights, coverage,
+                     left_cols, left_insb, left_lead, left_leadb, left_jc,
+                     right_cols, right_insb, right_lead, right_leadb, right_jc,
+                     at, pair_row, pair_w, tsize):
+    """Both extension passes of one chunk scattered in ONE dispatch
+    (pad-to-Lt included) — a tunnel-attached device sees a single launch."""
+    from necat_tpu.align.banded import OP_PAD as _PAD
+    Lt = weights.shape[3]
+    weights, coverage = scatter_pass_cols_mm(
+        weights, coverage, pad_cols_to(right_cols, Lt, _PAD),
+        pad_cols_to(right_insb, Lt, 0), right_lead, right_leadb, right_jc,
+        at, pair_row, pair_w, tsize, reversed_part=False)
+    weights, coverage = scatter_pass_cols_mm(
+        weights, coverage, pad_cols_to(left_cols, Lt, _PAD),
+        pad_cols_to(left_insb, Lt, 0), left_lead, left_leadb, left_jc,
+        at, pair_row, pair_w, tsize, reversed_part=True)
     return weights, coverage
 
 

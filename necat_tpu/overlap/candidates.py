@@ -201,6 +201,7 @@ def find_candidates_batch(
     opts: MapOptions,
     pairwise: bool,
     sub_offsets_host: np.ndarray | None = None,  # host copy of sub_offsets
+    hits_cap: list | None = None,  # mutable [cap]: escalation persists across batches
 ) -> Candidates:
     """Run the full candidate pipeline for one padded query batch on one strand
     (one fused device dispatch + one stats transfer)."""
@@ -222,25 +223,37 @@ def find_candidates_batch(
         else:
             soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
 
-    with timed("cand.jit_lookup"):
+    if hits_cap is None:
+        hits_cap = [opts.max_hits]
+    while True:
+        cap = hits_cap[0]
+        o = opts if cap == opts.max_hits else dataclasses.replace(opts, max_hits=cap)
         fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
-                                   index.occ_cutoff, opts.scan_window, opts,
+                                   index.occ_cutoff, opts.scan_window, o,
                                    index.n_search_steps)
-    with timed("cand.dispatch"):
-        g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
-               sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
+        with timed("cand.dispatch"):
+            g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
+                   sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
 
-    # host-side filtering & packing (single transfer)
-    with timed("cand.stats_sync"):
-        st = np.asarray(g["stats"])
-    with timed("cand.nhits_sync"):
+        # host-side filtering & packing (single transfer)
+        with timed("cand.stats_sync"):
+            st = np.asarray(g["stats"])
         n_hits = int(np.asarray(g["n_hits"])[0])
-    if n_hits >= opts.max_hits:
+        if n_hits < cap or cap >= opts.max_hits_ceiling:
+            break
+        # saturated: escalate the hit buffer and redo the pass (the reference
+        # has no hit cap at all — silent loss is not acceptable)
+        hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+        from necat_tpu.utils.logging import logger
+        logger.info("hit buffer full (%d >= %d): escalating to %d and "
+                    "re-dispatching", n_hits, cap, hits_cap[0])
+    if n_hits >= opts.max_hits_ceiling:
         from necat_tpu.utils.logging import logger
         logger.warning(
-            "k-mer hit buffer full (%d >= max_hits=%d): candidates beyond the "
-            "cap are dropped — raise MapOptions.max_hits or use volume tiling "
-            "(overlap_all_vs_all(vol_size=...))", n_hits, opts.max_hits)
+            "k-mer hit buffer full at ceiling (%d >= %d): candidates beyond "
+            "the cap are dropped — raise MapOptions.max_hits_ceiling or use "
+            "volume tiling (overlap_all_vs_all(vol_size=...))",
+            n_hits, opts.max_hits_ceiling)
     pv = st[2].astype(bool)
     n_seeds = st[3]
     score = st[4]

@@ -39,8 +39,12 @@ class MapOptions:
     chain_max_dist: int = 5000
     chain_bw: int = 500
     chain_min_score: int = 30
-    # batching caps (TPU static shapes)
-    max_hits: int = 1 << 21         # hit slots per (batch, strand) pass
+    # batching caps (TPU static shapes). max_hits is the STARTING hit-buffer
+    # size; a saturated pass is re-dispatched with a 4x larger buffer up to
+    # max_hits_ceiling (no silent candidate loss — the reference has no cap at
+    # all, word_finder.c collects every in-cutoff hit).
+    max_hits: int = 1 << 19         # hit slots per (batch, strand) pass
+    max_hits_ceiling: int = 1 << 23
     max_pairs: int = 8192           # (query, subject) pairs chained per pass
     max_seeds_per_pair: int = 64    # seeds fed to chain DP per pair (subsampled beyond)
 

@@ -15,7 +15,6 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from necat_tpu.align.banded import extend_batch
 from necat_tpu.index.kmer_index import KmerIndex
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates, find_candidates_batch, top_n_per_query
@@ -56,6 +55,7 @@ def find_all_candidates(
         qdev = DeviceReadStore(qstore)
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
+    hits_cap = [opts.max_hits]
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
     order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]
@@ -74,7 +74,7 @@ def find_all_candidates(
                 parts.append(find_candidates_batch(
                     index, sub_off, subject_read_start, batch, lens,
                     qidx.astype(np.int32), qdir, sub_sizes, opts, pairwise=pairwise,
-                    sub_offsets_host=sstore.offsets))
+                    sub_offsets_host=sstore.offsets, hits_cap=hits_cap))
         if progress:
             progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")
     with timed("cand.topn"):
@@ -96,58 +96,42 @@ def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, n
     return ws.astype(np.int64), we.astype(np.int64)
 
 
-def _extend_subset(cands, qdev, sdev, idxs, ws, wlen, band_width,
-                   pairs_per_chunk, out, progress=None):
+def _extend_subset(cands, engine, idxs, band_width, out, progress=None,
+                   slice_pairs: int = 8192):
     """Extend the given candidate indices with band W=band_width, writing
     endpoint/identity results into `out` arrays (indexed by candidate row).
-    Pair batches are gathered on device from the 2-bit packed stores (qdev,
-    sdev: DeviceReadStore) — per-chunk h2d is only the row descriptors."""
-    tier = np.array([_bucket_len(int(max(cands.qsize[c], wlen[c]))) for c in idxs])
-    order = idxs[np.lexsort((cands.qsize[idxs], tier))]
-    tier_of = dict(zip(idxs.tolist(), tier.tolist()))
-    cs = 0
-    n = len(order)
-    while cs < n:
-        L = tier_of[int(order[cs])]
-        PB = min(shapes.pairs_per_chunk(L, band_width), pairs_per_chunk)
-        sel = order[cs:cs + PB]
-        sel = sel[[tier_of[int(c)] == L for c in sel]]
-        cs += len(sel)
-        n_real = len(sel)
-        qg = np.zeros(PB, np.int64)
-        qglen = np.zeros(PB, np.int64)
-        qrc = np.zeros(PB, bool)
-        tg = np.zeros(PB, np.int64)
-        tglen = np.zeros(PB, np.int64)
-        qlens = np.zeros(PB, np.int32)
-        tlens = np.zeros(PB, np.int32)
-        aq = np.zeros(PB, np.int32)
-        at = np.zeros(PB, np.int32)
-        qids = cands.qid[sel]
-        sids = cands.sid[sel]
-        qg[:n_real] = qdev.offsets[qids]
-        qglen[:n_real] = qdev.offsets[qids + 1] - qg[:n_real]
-        qrc[:n_real] = cands.qdir[sel].astype(bool)
-        tg[:n_real] = sdev.offsets[sids] + ws[sel]
-        tglen[:n_real] = wlen[sel]
-        qlens[:n_real] = cands.qsize[sel]
-        tlens[:n_real] = wlen[sel]
-        aq[:n_real] = cands.qbeg[sel]
-        at[:n_real] = cands.sbeg[sel] - ws[sel]
-        qb = qdev.gather(qg, qglen, qrc, L)
-        tb = sdev.gather(tg, tglen, np.zeros(PB, bool), L)
-        res = extend_batch(qb, jnp.asarray(qlens),
-                           tb, jnp.asarray(tlens),
-                           jnp.asarray(aq), jnp.asarray(at), W=band_width)
-        st = np.asarray(res.stats)          # single host transfer: [6, PB]
-        out["qoff"][sel] = st[0, :n_real]
-        out["qend"][sel] = st[1, :n_real]
-        out["toff"][sel] = st[2, :n_real] + ws[sel]
-        out["tend"][sel] = st[3, :n_real] + ws[sel]
-        out["n_cols"][sel] = st[4, :n_real]
-        out["ident"][sel] = np.asarray(res.ident)[:n_real]
-        if progress and (cs // pairs_per_chunk) % 20 == 0:
-            progress(f"extend: {cs}/{n} candidates")
+
+    Uses the fused chunk engine (align.engine): one dispatch per chunk, stats
+    collected a slice behind the dispatch stream so the device pipelines while
+    in-flight chunk buffers stay bounded (~slice_pairs alignments)."""
+    from necat_tpu.align.engine import collect_stats
+
+    def submit(sel):
+        return engine.submit(
+            sel=sel, qids=cands.qid[sel],
+            qdir=cands.qdir[sel].astype(np.int32),
+            qsize=cands.qsize[sel].astype(np.int64),
+            tg_base=engine.sdev.offsets[cands.sid[sel]],
+            tsize=cands.ssize[sel].astype(np.int64),
+            aq=cands.qbeg[sel].astype(np.int64),
+            at_abs=cands.sbeg[sel].astype(np.int64),
+            W=band_width)
+
+    pending = None
+    n = len(idxs)
+    for s0 in range(0, n, slice_pairs):
+        chunks = submit(idxs[s0:s0 + slice_pairs])
+        if pending is not None:
+            collect_stats(pending, out)
+            for ch in pending:
+                ch.release()
+        pending = chunks
+        if progress:
+            progress(f"extend: {min(s0 + slice_pairs, n)}/{n} candidates")
+    if pending is not None:
+        collect_stats(pending, out)
+        for ch in pending:
+            ch.release()
 
 
 def rescue_hangs(cands: Candidates, idxs: np.ndarray, qoff: np.ndarray,
@@ -179,26 +163,24 @@ def extend_candidates(
     wider band — the TPU replacement for the reference's DALIGNER O(nd) rescue
     cascade (consensus_aux.c:123-215, asm_pm sensitive-daligner retry): a wider
     band covers proportionally longer clustered indels."""
+    from necat_tpu.align.engine import ExtendEngine, new_stats
     from necat_tpu.io.devstore import DeviceReadStore
     n = len(cands)
-    ws, we = subject_windows(cands)
-    wlen = we - ws
-    out = {k: np.zeros(n, np.int64) for k in ("qoff", "qend", "toff", "tend", "n_cols")}
-    out["ident"] = np.zeros(n, np.float64)
+    out = new_stats(n)
     qdev = DeviceReadStore(qstore)
     sdev = qdev if sstore is qstore else DeviceReadStore(sstore)
-    _extend_subset(cands, qdev, sdev, np.arange(n), ws, wlen, band_width,
-                   pairs_per_chunk, out, progress)
+    engine = ExtendEngine(qdev, sdev, pairs_per_chunk)
+    _extend_subset(cands, engine, np.arange(n), band_width, out, progress)
     if rescue_long_indels and n:
         bad = rescue_hangs(cands, np.arange(n), out["qoff"], out["qend"])
         if len(bad):
-            prev = {k: out[k][bad].copy() for k in out}
-            _extend_subset(cands, qdev, sdev, bad, ws, wlen,
-                           band_width * rescue_band_scale, pairs_per_chunk, out)
+            prev = {k: out[k][bad].copy() for k in out if k != "lane"}
+            _extend_subset(cands, engine, bad, band_width * rescue_band_scale,
+                           out)
             # keep the wider-band result only where it aligned more columns
             # (reference falls back to the small-edlib result, :203-213)
             worse = out["n_cols"][bad] < prev["n_cols"]
-            for k in out:
+            for k in prev:
                 out[k][bad[worse]] = prev[k][worse]
             if progress:
                 progress(f"rescued {len(bad) - int(worse.sum())}/{len(bad)} hanging pairs")
