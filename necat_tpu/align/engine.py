@@ -86,10 +86,12 @@ class ExtendEngine:
     are async; read chunk.stats() to sync a chunk.
     """
 
-    def __init__(self, qdev, sdev, pairs_per_chunk: int = 512):
+    def __init__(self, qdev, sdev, pairs_per_chunk: int = 512, mesh=None):
+        from necat_tpu.parallel import mesh as pmesh
         self.qdev = qdev
         self.sdev = sdev
         self.cap = pairs_per_chunk
+        self.mesh = pmesh.auto_mesh() if mesh is None else mesh
 
     def submit(
         self,
@@ -152,8 +154,14 @@ class ExtendEngine:
                 desc[:n_real, 7] = aq[take]
                 desc[:n_real, 8] = at_abs[take] - ws[take]
             with timed("ext.dispatch"):
-                out = gather_extend(self.qdev.words, self.sdev.words,
-                                    jnp.asarray(desc), W=W, L=L)
+                if self.mesh is not None and PB % self.mesh.size == 0:
+                    # pair rows data-parallel over the chip mesh
+                    from necat_tpu.parallel.mesh import sharded_gather_extend_fn
+                    fn = sharded_gather_extend_fn(self.mesh, W=W, L=L)
+                    out = fn(self.qdev.words, self.sdev.words, jnp.asarray(desc))
+                else:
+                    out = gather_extend(self.qdev.words, self.sdev.words,
+                                        jnp.asarray(desc), W=W, L=L)
                 try:
                     out["stats"].copy_to_host_async()
                 except Exception:

@@ -254,6 +254,14 @@ def find_candidates_batch(
             "the cap are dropped — raise MapOptions.max_hits_ceiling or use "
             "volume tiling (overlap_all_vs_all(vol_size=...))",
             n_hits, opts.max_hits_ceiling)
+    return stats_to_candidates(st, qids, lens, qdir, sub_sizes,
+                               sub_vol_read_start, opts)
+
+
+def stats_to_candidates(st: np.ndarray, qids, lens, qdir, sub_sizes,
+                        sub_vol_read_start: int, opts: MapOptions) -> Candidates:
+    """Host-side filter/pack of one candidate pass's packed stats [9, P]
+    (shared by the single-device and the mesh-sharded paths)."""
     pv = st[2].astype(bool)
     n_seeds = st[3]
     score = st[4]
@@ -265,7 +273,7 @@ def find_candidates_batch(
     idx = np.flatnonzero(keep)
     pq = st[0][idx]
     psid = st[1][idx]
-    out = Candidates(
+    return Candidates(
         qid=qids[pq].astype(np.int32),
         sid=(psid + sub_vol_read_start).astype(np.int32),
         qdir=np.full(len(idx), qdir, dtype=np.int8),
@@ -275,7 +283,6 @@ def find_candidates_batch(
         qsize=lens[pq].astype(np.int32),
         ssize=sub_sizes[psid].astype(np.int32),
     )
-    return out
 
 
 def top_n_per_query(cands: Candidates, n: int) -> Candidates:

@@ -37,6 +37,7 @@ def find_all_candidates(
     progress: Optional[Callable[[str], None]] = None,
     subject_read_start: int = 0,
     query_ids: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Candidates:
     """Candidates of qstore reads against sstore (one subject volume).
 
@@ -44,13 +45,27 @@ def find_all_candidates(
     hits are suppressed (each overlap reported once with sid < qid).
     subject_read_start: global read id of the volume's first read (oc2pmov's
     volume offset). query_ids restricts/labels the queries (global ids).
-    """
+
+    When more than one device is present (or `mesh` is passed), the subject
+    index is sharded across the device mesh and every batch runs as ONE
+    shard_map dispatch — the chip-level form of the reference's per-volume
+    thread groups (pm_worker.c:283-335)."""
     from necat_tpu.io.devstore import DeviceReadStore
+    from necat_tpu.parallel import mesh as pmesh
     from necat_tpu.utils.logging import timed
+    sharded_idx = None
     if index is None:
-        with timed("cand.index_build"):
-            index = KmerIndex.build(sstore.bases, sstore.offsets, k=opts.kmer_size,
-                                    occ_cutoff=opts.occ_cutoff)
+        if mesh is None:
+            mesh = pmesh.auto_mesh()
+        if mesh is not None:
+            with timed("cand.index_build"):
+                sharded_idx = pmesh.ShardedIndex(mesh, sstore, k=opts.kmer_size,
+                                                 occ_cutoff=opts.occ_cutoff)
+        else:
+            with timed("cand.index_build"):
+                index = KmerIndex.build(sstore.bases, sstore.offsets,
+                                        k=opts.kmer_size,
+                                        occ_cutoff=opts.occ_cutoff)
     with timed("cand.devstore_init"):
         qdev = DeviceReadStore(qstore)
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
@@ -71,10 +86,18 @@ def find_all_candidates(
             lens = qstore.lengths[qidx].astype(np.int32)
             lens[n_real:] = 0  # padding rows produce no k-mers, hence no hits
             with timed("cand.batch_total"):
-                parts.append(find_candidates_batch(
-                    index, sub_off, subject_read_start, batch, lens,
-                    qidx.astype(np.int32), qdir, sub_sizes, opts, pairwise=pairwise,
-                    sub_offsets_host=sstore.offsets, hits_cap=hits_cap))
+                if sharded_idx is not None:
+                    from necat_tpu.parallel.mesh import find_candidates_sharded
+                    parts.append(find_candidates_sharded(
+                        sharded_idx, sstore, subject_read_start, batch, lens,
+                        qidx.astype(np.int32), qdir, opts, pairwise=pairwise,
+                        hits_cap=hits_cap))
+                else:
+                    parts.append(find_candidates_batch(
+                        index, sub_off, subject_read_start, batch, lens,
+                        qidx.astype(np.int32), qdir, sub_sizes, opts,
+                        pairwise=pairwise, sub_offsets_host=sstore.offsets,
+                        hits_cap=hits_cap))
         if progress:
             progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")
     with timed("cand.topn"):

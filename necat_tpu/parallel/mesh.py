@@ -9,15 +9,18 @@ num_nodes` partition striding, SURVEY.md §2.10) with a jax.sharding Mesh:
     (shard_map; the candidate merge is the all-gather that `cat pm_result_*`
     performed through the filesystem, necat.pl:218).
   * pair axis     — banded extension batches are data-parallel across devices
-    (each device extends its slice of (query, subject) pairs).
+    (each device extends its slice of (query, subject) pairs — the fused
+    gather+extend chunk runs per device under shard_map, so the Pallas kernels
+    stay single-device while the chunk scales across the mesh).
 
-All functions here are pure over device arrays so they jit/shard_map cleanly.
+The pipeline picks the mesh automatically when more than one device is
+present (overlap.overlapper.find_all_candidates / align.engine.ExtendEngine).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from necat_tpu.align import banded
 from necat_tpu.index import kmer_index
 from necat_tpu.overlap import candidates as cand_mod
-from necat_tpu.overlap.chain import chain_pairs
 from necat_tpu.overlap.options import MapOptions
 
 
@@ -36,6 +38,13 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def auto_mesh() -> Optional[Mesh]:
+    """The pipeline's device mesh: all local devices, or None single-device."""
+    if len(jax.devices()) <= 1:
+        return None
+    return make_mesh()
 
 
 # ------------------------------------------------------------------ pure steps
@@ -53,26 +62,55 @@ def extension_forward(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t, *, W: in
 
 # -------------------------------------------------------------- sharded steps
 
+@functools.lru_cache(maxsize=None)
 def sharded_candidates_fn(mesh: Mesh, *, k: int, shift: int, occ_cutoff: int,
-                          scan_window: int, opts: MapOptions):
+                          scan_window: int, opts: MapOptions, n_steps=None):
     """Build a shard_map'ed candidate step: subject index sharded over the mesh
-    axis, query batch replicated. Inputs carry a leading device axis."""
+    axis, query batch replicated, per-shard self-suppression limits sharded.
+    Index/limit inputs carry a leading device axis."""
     axis = mesh.axis_names[0]
     f = functools.partial(candidates_forward, k=k, shift=shift,
-                          occ_cutoff=occ_cutoff, scan_window=scan_window, opts=opts)
+                          occ_cutoff=occ_cutoff, scan_window=scan_window,
+                          opts=opts, n_steps=n_steps)
 
     def per_shard(sh, sp, bs, so, batch, lens, lim):
         # shard_map passes arrays with the leading device axis sliced away
-        return f(sh[0], sp[0], bs[0], so[0], batch, lens, lim)
+        return f(sh[0], sp[0], bs[0], so[0], batch, lens, lim[0])
 
     shard = P(axis)
     repl = P()
     fn = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(shard, shard, shard, shard, repl, repl, repl),
+        in_specs=(shard, shard, shard, shard, repl, repl, shard),
         out_specs=shard,
         check_vma=False,  # scan carries inside chain DP start replicated
     )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_gather_extend_fn(mesh: Mesh, *, W: int, L: int):
+    """shard_map'ed fused gather+extend chunk: descriptor rows sharded over
+    the mesh, packed word buffers replicated. Each device runs the Pallas
+    kernels on its PB/n_dev pair rows."""
+    from necat_tpu.align.engine import gather_extend
+    axis = mesh.axis_names[0]
+    shard = P(axis)
+    repl = P()
+    row_sharded_keys = (
+        "left_cols", "left_insb", "left_lead", "left_leadb", "left_jc",
+        "right_cols", "right_insb", "right_lead", "right_leadb", "right_jc",
+        "qoff", "qend", "toff", "tend", "n_cols", "n_match", "ident",
+        "qbatch")
+
+    def per_shard(wq, wt, desc):
+        return gather_extend(wq, wt, desc, W=W, L=L)
+
+    out_specs = {k_: shard for k_ in row_sharded_keys}
+    out_specs["stats"] = P(None, axis)
+    fn = jax.shard_map(per_shard, mesh=mesh,
+                       in_specs=(repl, repl, shard), out_specs=out_specs,
+                       check_vma=False)
     return jax.jit(fn)
 
 
@@ -111,17 +149,100 @@ def build_sharded_index(store_bases: np.ndarray, store_offsets: np.ndarray,
         b = np.asarray(idx.bucket_starts)
         bs[s] = b
         so[s, :len(off)] = off
+    meta = dict(starts=np.array(starts),
+                n_steps=max(i.n_search_steps for i in idxs),
+                offs=offs, k=k, occ_cutoff=occ_cutoff,
+                n_bucket_bits=idxs[0].n_bucket_bits)
     return (jnp.asarray(sh), jnp.asarray(sp), jnp.asarray(bs), jnp.asarray(so),
-            np.array(starts), idxs[0])
+            meta)
 
 
-def sharded_extension_fn(mesh: Mesh, *, W: int):
-    """Data-parallel extension: pair batch sharded on its leading axis."""
-    axis = mesh.axis_names[0]
-    shard = NamedSharding(mesh, P(axis))
+class ShardedIndex:
+    """Per-device k-mer index shards of one subject store (the reference's
+    per-volume lookup tables, one per thread group — pm_worker.c:283-335)."""
 
-    @functools.partial(jax.jit, in_shardings=(shard,) * 6)
-    def fn(qb, ql, tb, tl, aq, at):
-        return extension_forward(qb, ql, tb, tl, aq, at, W=W)
+    def __init__(self, mesh: Mesh, sstore, k: int, occ_cutoff: int,
+                 n_bucket_bits: int = 14):
+        self.mesh = mesh
+        self.n_shards = mesh.size
+        sh, sp, bs, so, meta = build_sharded_index(
+            sstore.bases, sstore.offsets, self.n_shards, k=k,
+            occ_cutoff=occ_cutoff, n_bucket_bits=n_bucket_bits)
+        ax = mesh.axis_names[0]
+        shard = NamedSharding(mesh, P(ax))
+        self.sh = jax.device_put(sh, shard)
+        self.sp = jax.device_put(sp, shard)
+        self.bs = jax.device_put(bs, shard)
+        self.so = jax.device_put(so, shard)
+        self.meta = meta
+        self.k = k
+        self.occ_cutoff = occ_cutoff
+        self.shift = 2 * k - meta["n_bucket_bits"]
+        # per-shard base offsets/sizes in the GLOBAL store
+        self.read_starts = meta["starts"]
+        self.local_sizes = [len(o) - 1 for o in meta["offs"]]
 
-    return fn
+
+def find_candidates_sharded(
+    index: ShardedIndex,
+    sstore,
+    subject_read_start: int,
+    batch, lens, qids, qdir: int,
+    opts: MapOptions,
+    pairwise: bool,
+    hits_cap: list | None = None,
+):
+    """Mesh-sharded equivalent of find_candidates_batch: ONE shard_map
+    dispatch over the device mesh; each device searches its subject shard."""
+    import dataclasses as _dc
+
+    from necat_tpu.overlap.candidates import (_fused_candidates_jit,  # noqa: F401
+                                              stats_to_candidates)
+    from necat_tpu.utils.logging import timed
+    B = batch.shape[0]
+    D = index.n_shards
+    starts = index.read_starts
+    base_off = sstore.offsets[starts]          # flat-base offset of each shard
+    INT32MAX = np.iinfo(np.int32).max
+    if pairwise:
+        # global self-suppression limit per query (hits at positions >= the
+        # query's own start are left to later volumes), localized per shard
+        local = np.asarray(qids) - subject_read_start
+        ns = sstore.n_reads
+        in_vol = (local >= 0) & (local < ns)
+        lim_g = np.where(in_vol, sstore.offsets[np.clip(local, 0, ns - 1)],
+                         np.int64(INT32MAX))
+        lim = np.minimum(np.maximum(lim_g[None, :] - base_off[:, None], 0),
+                         INT32MAX).astype(np.int32)
+    else:
+        lim = np.full((D, B), INT32MAX, np.int32)
+    if hits_cap is None:
+        hits_cap = [opts.max_hits]
+    while True:
+        cap = hits_cap[0]
+        o = opts if cap == opts.max_hits else _dc.replace(opts, max_hits=cap)
+        fn = sharded_candidates_fn(index.mesh, k=index.k, shift=index.shift,
+                                   occ_cutoff=index.occ_cutoff,
+                                   scan_window=opts.scan_window, opts=o,
+                                   n_steps=index.meta["n_steps"])
+        with timed("cand.dispatch"):
+            g = fn(index.sh, index.sp, index.bs, index.so,
+                   jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim))
+        with timed("cand.stats_sync"):
+            st_all = np.asarray(g["stats"]).reshape(D, 9, -1)
+        n_hits = np.asarray(g["n_hits"])
+        if int(n_hits.max()) < cap or cap >= opts.max_hits_ceiling:
+            break
+        hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+    parts = []
+    lens = np.asarray(lens)
+    qids = np.asarray(qids)
+    for d in range(D):
+        lo = int(starts[d])
+        nloc = index.local_sizes[d]
+        sub_sizes = sstore.lengths[lo:lo + nloc].astype(np.int32)
+        parts.append(stats_to_candidates(
+            st_all[d], qids, lens, qdir, sub_sizes,
+            subject_read_start + lo, opts))
+    from necat_tpu.overlap.candidates import Candidates
+    return Candidates.concat(parts)
