@@ -371,12 +371,18 @@ def _scatter_chunk(b: _Bucket, ch, row, w, tsz, at_abs, use_mm: bool):
     at_j = jnp.asarray(at_abs)
     with timed("cns.scatter"):
         if use_mm:
+            # canonicalize the per-column arrays to Lt OUTSIDE the fused
+            # scatter (eager pad ops compile trivially) so the scatter
+            # program is keyed on (PB, Lt) only, not every chunk tier MC
+            from necat_tpu.align.banded import OP_PAD as _PAD
+            Lt = b.Lt
+            pc = tags_mod.pad_cols_to
             b.weights, b.covten = tags_mod.scatter_chunk_mm(
                 b.weights, b.covten,
-                o["left_cols"], o["left_insb"], o["left_lead"],
-                o["left_leadb"], o["left_jc"],
-                o["right_cols"], o["right_insb"], o["right_lead"],
-                o["right_leadb"], o["right_jc"],
+                pc(o["left_cols"], Lt, _PAD), pc(o["left_insb"], Lt, 0),
+                o["left_lead"], o["left_leadb"], o["left_jc"],
+                pc(o["right_cols"], Lt, _PAD), pc(o["right_insb"], Lt, 0),
+                o["right_lead"], o["right_leadb"], o["right_jc"],
                 at_j, row_j, w_j, tsz_j)
         else:
             args = (o["qbatch"], jnp.asarray(ch.aq), at_j, row_j, w_j, tsz_j)

@@ -1,0 +1,136 @@
+"""Reference-faithful FALCON-sense link DP (host oracle).
+
+A direct Python port of the reference's alignment-tag DAG consensus:
+  * tag generation     — get_cns_tags (src/tasc/align_tags.c:23-71): one tag
+    per alignment column carrying (t_pos, delta, q_base) AND the previous
+    column's (p_t_pos, p_delta, p_q_base);
+  * backbone build     — build_backbone/build_base_links (src/tasc/
+    cns_aux.c:21-126): tags grouped per (t_pos, delta, base) node, predecessor
+    links grouped per distinct (p_t_pos, p_delta, p_base) with summed weights;
+  * link DP + backtrack — consensus_backbone_segment (cns_aux.c:127-217):
+    node score = max over links of (link_weight - 0.2*coverage[t] +
+    predecessor score), global best node, walk best_p pointers, emit non-gap
+    bases in reverse.
+
+This oracle exists to pin the production consensus (backbone.call_consensus,
+a thresholded per-column weighted majority, which IS fully parallel on TPU)
+against the reference algorithm: tests/test_linkdp.py feeds identical
+alignments to both and quantifies the divergence.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+GAP = 4  # gap code (reference uses '-')
+
+
+def tags_from_ops(ops: np.ndarray, n_ops: int, qbases: np.ndarray,
+                  qoff: int, toff: int, weight: float, max_delta: int = 255):
+    """get_cns_tags equivalent over our op encoding (0=DIAG 1=DEL 2=INS).
+
+    qbases: query codes on the alignment strand; qoff = first consumed query
+    index; toff = template position of the first column - the alignment must
+    start with a template-consuming op (anchor convention).
+    Returns list of tag tuples (t, d, b, pt, pd, pb, w), or None when any
+    insertion run reaches max_delta (the reference drops the whole alignment,
+    align_tags.c:40-44 — u8 in correction, u16 in ctg polish).
+    """
+    from necat_tpu.align.banded import OP_DEL, OP_INS
+    tags = []
+    jj = 0
+    j = toff - 1
+    p_j, p_jj, p_b = -1, 0, GAP
+    q = qoff
+    for i in range(n_ops):
+        op = int(ops[i])
+        if op != OP_DEL:
+            b = int(qbases[q])
+            q += 1
+            jj += 1
+        else:
+            b = GAP
+        if op != OP_INS:
+            j += 1
+            jj = 0
+        if jj >= max_delta or p_jj >= max_delta:
+            return None
+        tags.append((j, jj, b, p_j, p_jj, p_b, weight))
+        p_j, p_jj, p_b = j, jj, b
+    return tags
+
+
+def consensus_linkdp(all_tags: List[tuple], template_size: int,
+                     seg_from: int = 0, seg_to: int | None = None
+                     ) -> Tuple[np.ndarray, int, int]:
+    """build_backbone + consensus_backbone_segment. Returns (seq codes,
+    cns_from, cns_to)."""
+    if seg_to is None:
+        seg_to = template_size
+    # backbone: nodes[(t, d, b)] = dict link(p_t,p_d,p_b) -> [count, weight]
+    nodes: dict = {}
+    coverage = np.zeros(template_size, np.int64)
+    for (t, d, b, pt, pd, pb, w) in all_tags:
+        key = (t, d, b)
+        links = nodes.get(key)
+        if links is None:
+            links = {}
+            nodes[key] = links
+        lk = (pt, pd, pb)
+        e = links.get(lk)
+        if e is None:
+            links[lk] = [1, w]
+        else:
+            e[0] += 1
+            e[1] += w
+        if d == 0:
+            coverage[t] += 1
+
+    # DP in (t asc, delta asc, base asc) order (cns_aux.c:152-186)
+    score: dict = {}
+    best_p: dict = {}
+    g_best = (-1.0, None)
+    # link iteration order matches the reference's tag sort (AlignTag_LT with
+    # '-' < 'ACGT' as chars): gap sorts BEFORE the bases
+    def _lkey(lk):
+        pt, pd, pb = lk
+        return (pt, pd, -1 if pb == GAP else pb)
+
+    for key in sorted(k for k in nodes.keys() if seg_from <= k[0] < seg_to):
+        t, d, b = key
+        links = nodes[key]
+        bs, bp = -1.0, None
+        for lk in sorted(links.keys(), key=_lkey):
+            pt, pd, pb = lk
+            cnt, w = links[lk]
+            s = w - 0.4 * 0.5 * coverage[t]
+            if pt != -1:
+                s += score.get((pt, pd, pb), 0.0)
+            if s > bs:
+                bs, bp = s, (pt, pd, pb)
+        score[key] = bs
+        best_p[key] = bp
+        if bs > g_best[0]:
+            g_best = (bs, key)
+
+    if g_best[1] is None:
+        return np.zeros(0, np.uint8), 0, 0
+    # backtrack (cns_aux.c:189-211): every path node emits its base except
+    # the origin (whose best predecessor is the -1 sentinel)
+    out = []
+    key = g_best[1]
+    cns_to = key[0] + 1
+    cns_from = 0
+    while True:
+        bb = key[2]
+        p = best_p.get(key)
+        if p is None or p[0] == -1:
+            cns_from = key[0]
+            break
+        cns_from = p[0]
+        if bb != GAP:
+            out.append(bb)
+        key = p
+    return np.array(out[::-1], np.uint8), cns_from, cns_to
