@@ -249,11 +249,10 @@ def cols_clip_stats(cols, lead, a, b, tail_match: int = TAIL_MATCH):
     jcol = jnp.arange(1, MC + 1, dtype=jnp.int32)[None, :]
     dq = jnp.where(isdiag, 1, 0) + jnp.where(active, k, 0)
     CQ = lead[:, None] + jnp.cumsum(dq, axis=1)              # q consumed thru col j
-    qidx = CQ - k - 1                                        # q index of the diag op
-    qb = jnp.take_along_axis(a, jnp.clip(qidx, 0, a.shape[1] - 1), axis=1)
-    mc = min(MC, b.shape[1])
-    tb = jnp.full((B, MC), 255, jnp.uint8).at[:, :mc].set(b[:, :mc].astype(jnp.uint8))
-    match = isdiag & (qb.astype(jnp.uint8) == tb)
+    # the column encoding already carries the DIAG match flag (bit 2, emitted
+    # by both ops_to_cols and the Pallas backtrack) — recomputing it from the
+    # sequences cost a [B, MC] lane gather, the slowest op class on TPU
+    match = isdiag & (((cols >> 2) & 1) == 1)
     kprev = jnp.concatenate([lead[:, None], k[:, :-1]], axis=1)
     # run of matched columns ending at j, with a half-step barrier when the
     # previous column carried insertions (they break the op-string M run)
@@ -276,17 +275,25 @@ def cols_clip_stats(cols, lead, a, b, tail_match: int = TAIL_MATCH):
 
 
 def _gather_rev_prefix(batch, anchor, L):
-    """rows[i] = batch[anchor-1-i], zero beyond; batch [B, LB] -> [B, L]."""
-    B = batch.shape[0]
-    idx = anchor[:, None] - 1 - jnp.arange(L)[None, :]
-    ok = idx >= 0
-    return jnp.where(ok, jnp.take_along_axis(batch, jnp.clip(idx, 0, batch.shape[1] - 1), axis=1), 0)
+    """rows[i] = batch[anchor-1-i], zero beyond; batch [B, LB] -> [B, L].
+
+    Flip + per-row block shift (tags._row_shift): a take_along_axis gather on
+    the lane axis ran ~45 M elem/s on TPU (36 ms per [128,12k] pair of
+    gathers — it dominated the whole extension); the shift decomposition is
+    pure aligned moves."""
+    from necat_tpu.consensus.tags import _row_shift
+    LB = batch.shape[1]
+    out = _row_shift(batch[:, ::-1], anchor - LB)
+    return out[:, :L] if LB >= L else jnp.concatenate(
+        [out, jnp.zeros((batch.shape[0], L - LB), batch.dtype)], axis=1)
 
 
 def _gather_suffix(batch, anchor, L):
-    idx = anchor[:, None] + jnp.arange(L)[None, :]
-    ok = idx < batch.shape[1]
-    return jnp.where(ok, jnp.take_along_axis(batch, jnp.clip(idx, 0, batch.shape[1] - 1), axis=1), 0)
+    from necat_tpu.consensus.tags import _row_shift
+    LB = batch.shape[1]
+    out = _row_shift(batch, -anchor)
+    return out[:, :L] if LB >= L else jnp.concatenate(
+        [out, jnp.zeros((batch.shape[0], L - LB), batch.dtype)], axis=1)
 
 
 class ExtensionResult:

@@ -124,7 +124,11 @@ class ExtendEngine:
         tier = np.array([shapes.length_tier(int(max(qsize[i], wlen[i])))
                          for i in range(len(sel))])
         gkey = np.zeros(len(sel), np.int64) if groups is None else np.asarray(groups)
-        order = np.lexsort((qsize, tier, gkey))
+        # chunking: within a group, largest tiers first; a chunk may absorb
+        # pairs ONE tier below its own (<= 25% padded columns on those lanes)
+        # — fragmenting into pure-tier chunks cost more in padded LANES than
+        # the merged tier costs in padded columns (measured 53% lane fill)
+        order = np.lexsort((qsize, -tier, gkey))
         chunks: List[ExtChunk] = []
         cs = 0
         n = len(order)
@@ -132,15 +136,18 @@ class ExtendEngine:
             i0 = order[cs]
             L = int(tier[i0])
             g = gkey[i0]
+            L_floor = shapes.tier_below(L)
             PBmax = min(shapes.pairs_per_chunk(L, W), self.cap)
             take = order[cs:cs + PBmax]
-            keep = (tier[take] == L) & (gkey[take] == g)
-            if not keep.all():          # order is (gkey, tier)-sorted: cut at
-                take = take[:np.argmin(keep)]  # the first foreign pair
+            keep = (tier[take] >= L_floor) & (gkey[take] == g)
+            if not keep.all():          # order is (gkey, tier desc)-sorted:
+                take = take[:np.argmin(keep)]  # cut at the first foreign pair
             cs += len(take)
             n_real = len(take)
-            PB = min(PBmax, 128 if n_real <= 128 else 512)
-            PB = max(PB, 8)
+            PB = 8
+            while PB < n_real:
+                PB *= 2
+            PB = min(PB, PBmax)
             with timed("ext.chunk_build"):
                 desc = np.zeros((PB, len(DESC_COLS)), np.int32)
                 qi = qids[take]
@@ -166,6 +173,10 @@ class ExtendEngine:
                     out["stats"].copy_to_host_async()
                 except Exception:
                     pass
+            from necat_tpu.utils import logging as _lg
+            _lg._TIMERS["ext.lanes"] += PB
+            _lg._TIMERS["ext.real_lanes"] += n_real
+            _lg._TIMERS["ext.cell_Mlanes"] += PB * L / 1e6
             chunks.append(ExtChunk(
                 out=out, sel=sel[take], n_real=n_real, L=L, W=W,
                 aq=desc[:, 7].copy(), at=desc[:, 8].copy(),

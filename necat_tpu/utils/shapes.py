@@ -33,6 +33,14 @@ def length_tier(x: int) -> int:
     return t
 
 
+def tier_below(L: int) -> int:
+    """The next tier below L (L itself for the smallest tier)."""
+    i = LENGTH_TIERS.index(L) if L in LENGTH_TIERS else None
+    if i is None or i == 0:
+        return L if i == 0 else L // 2
+    return LENGTH_TIERS[i - 1]
+
+
 def pairs_per_chunk(L: int, W: int = BAND_W_DEFAULT, cap: int = 512) -> int:
     """Pair-batch bound for one extension chunk at tier L, floored to a power
     of two: the Pallas kernels require PB % 8 == 0 (a stray size like 204
