@@ -177,8 +177,8 @@ def clip_tail(ops, n_ops, a, b, tail_match: int = TAIL_MATCH):
 N_INSB = 7  # inserted bases recorded per column (deltas 1..N_INSB; = max_delta-1)
 
 
-@functools.partial(jax.jit, static_argnames=("MC",))
-def ops_to_cols(ops, n_ops, a, b, MC: int):
+@functools.partial(jax.jit, static_argnames=("MC", "words"))
+def ops_to_cols(ops, n_ops, a, b, MC: int, words: int = 1):
     """Convert an op sequence to the PER-COLUMN encoding.
 
     cols int32[B, MC]: entry j-1 describes target column j (1-based):
@@ -186,7 +186,10 @@ def ops_to_cols(ops, n_ops, a, b, MC: int):
     where op is the column's target-consuming op (OP_DIAG/OP_DEL, OP_PAD past
     the alignment), match/qbase describe the DIAG, and k counts the OP_INS ops
     that follow it (before the next column's consumer).
-    insb int32[B, MC]: the first N_INSB inserted query bases of the column's
+    insb: tuple of `words` int32[B, MC] (word w records run ranks
+    7w+1..7w+7 at the same bit layout — the polish stage's long-insertion
+    capacity, ctg_cns u16 deltas fc_correct_one_read.h:17-19); word 0 holds
+    the first N_INSB inserted query bases of the column's
     run (bits 2(d-1)) and the last N_INSB counted backward (bits 14+2(d-1)).
     lead int32[B]: leading insertions before column 1.
 
@@ -221,15 +224,21 @@ def ops_to_cols(ops, n_ops, a, b, MC: int):
     last_non_ins = jax.lax.cummax(jnp.where(~is_ins & valid, i, -1), axis=1)
     m = jnp.where(is_ins, i - last_non_ins, 0)
     k_of = jnp.take_along_axis(kflat, jnp.clip(ct, 0, MC), axis=1)
-    insflat = jnp.zeros((B, MC + 1), jnp.int32)
-    for d in range(1, N_INSB + 1):
-        insflat = insflat | (col_sum(jnp.where(is_ins & (m == d), qb_op, 0)) << (2 * (d - 1)))
-        insflat = insflat | (col_sum(jnp.where(is_ins & (m == k_of - d + 1), qb_op, 0))
-                             << (14 + 2 * (d - 1)))
+    insflats = []
+    for w in range(words):
+        insflat = jnp.zeros((B, MC + 1), jnp.int32)
+        for d in range(1, N_INSB + 1):
+            dd = w * N_INSB + d
+            insflat = insflat | (col_sum(jnp.where(is_ins & (m == dd), qb_op, 0))
+                                 << (2 * (d - 1)))
+            insflat = insflat | (col_sum(jnp.where(is_ins & (m == k_of - dd + 1),
+                                                   qb_op, 0))
+                                 << (14 + 2 * (d - 1)))
+        insflats.append(insflat[:, 1:])
     op_col = jnp.where(present[:, 1:] > 0, opflat[:, 1:], OP_PAD)
     cols = ((kflat[:, 1:] << 5) | (qbaseflat[:, 1:] << 3)
             | (matchflat[:, 1:] << 2) | op_col)
-    return cols.astype(jnp.int32), insflat[:, 1:], kflat[:, 0].astype(jnp.int32)
+    return cols.astype(jnp.int32), tuple(insflats), kflat[:, 0].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tail_match",))
@@ -312,18 +321,19 @@ def extend_batch(
     anchor_t: jax.Array, # int32[B]
     W: int = 128,
     tail_match: int = TAIL_MATCH,
+    insb_words: int = 1,
 ):
     """One fused jit call per batch (the chunk loop calls this hundreds of
     times; per-dispatch latency through a remote-attached TPU is milliseconds,
     so the whole two-pass extension compiles as a single program)."""
     out = _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
-                            W=W, tail_match=tail_match)
+                            W=W, tail_match=tail_match, insb_words=insb_words)
     return ExtensionResult(**out)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "tail_match"))
+@functools.partial(jax.jit, static_argnames=("W", "tail_match", "insb_words"))
 def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
-                      W: int, tail_match: int):
+                      W: int, tail_match: int, insb_words: int = 1):
     """Extend alignments outward from anchors for a batch of (query, target) pairs.
 
     Returns ExtensionResult with device arrays:
@@ -369,16 +379,18 @@ def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
             from necat_tpu.align.pallas_banded import (banded_backtrack_cols,
                                                        banded_forward_pallas)
             dirs, offs, _, cost = banded_forward_pallas(a, b, la, lb, W, max_cols=LT)
-            cols, insb, lead = banded_backtrack_cols(dirs, la, lb, W, max_cols=LT)
+            cols, insb, lead = banded_backtrack_cols(dirs, la, lb, W, max_cols=LT,
+                                                     words=insb_words)
         else:
             dirs, offs, _, cost = banded_forward(a, b, la, lb, W, max_cols=LT)
             ops, n_ops = banded_traceback(dirs, offs, la, lb, max_ops=LQ + LT)
-            cols, insb, lead = ops_to_cols(ops, n_ops, a, b, MC=LT)
+            cols, insb, lead = ops_to_cols(ops, n_ops, a, b, MC=LT,
+                                           words=insb_words)
         st = cols_clip_stats(cols, lead, a, b, tail_match)
         # leading-run inserted bases, delta-indexed (entry d-1 = base at delta d)
         # so the tag scatter never needs the query batch again:
         #   right/fwd pass: delta d -> a[d-1]; left/rev pass: delta d -> a[lead-d]
-        dl = jnp.arange(1, N_INSB + 1, dtype=jnp.int32)[None, :]
+        dl = jnp.arange(1, N_INSB * insb_words + 1, dtype=jnp.int32)[None, :]
         lidx = (dl - 1) if side == "right" else (lead[:, None] - dl)
         leadb = jnp.take_along_axis(a, jnp.clip(lidx, 0, a.shape[1] - 1), axis=1)
         out[side] = dict(cols=cols, insb=insb, lead=lead, leadb=leadb,
@@ -394,13 +406,17 @@ def _extend_batch_jit(qbatch, qlens, tbatch, tlens, anchor_q, anchor_t,
     ident = jnp.where(n_cols > 0, 100.0 * n_match / jnp.maximum(n_cols, 1), 0.0)
     # stats packed into one array so callers do a single host transfer
     stats = jnp.stack([qoff, qend, toff, tend, n_cols, n_match], axis=0)
-    return dict(
-        left_cols=out["left"]["cols"], left_insb=out["left"]["insb"],
+    res = dict(
+        left_cols=out["left"]["cols"], left_insb=out["left"]["insb"][0],
         left_lead=out["left"]["lead"], left_leadb=out["left"]["leadb"],
         left_jc=out["left"]["jc"],
-        right_cols=out["right"]["cols"], right_insb=out["right"]["insb"],
+        right_cols=out["right"]["cols"], right_insb=out["right"]["insb"][0],
         right_lead=out["right"]["lead"], right_leadb=out["right"]["leadb"],
         right_jc=out["right"]["jc"],
         qoff=qoff, qend=qend, toff=toff, tend=tend,
         n_cols=n_cols, n_match=n_match, ident=ident, stats=stats,
     )
+    for w in range(1, insb_words):   # extra insertion words (polish long runs)
+        res[f"left_insb{w + 1}"] = out["left"]["insb"][w]
+        res[f"right_insb{w + 1}"] = out["right"]["insb"][w]
+    return res

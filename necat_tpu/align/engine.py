@@ -31,9 +31,10 @@ from necat_tpu.utils.logging import timed
 DESC_COLS = ("qg", "qglen", "qrc", "tg", "tglen", "qlen", "tlen", "aq", "at")
 
 
-@functools.partial(jax.jit, static_argnames=("W", "L", "tail_match"))
+@functools.partial(jax.jit, static_argnames=("W", "L", "tail_match",
+                                             "insb_words"))
 def gather_extend(words_q, words_t, desc, W: int, L: int,
-                  tail_match: int = banded.TAIL_MATCH):
+                  tail_match: int = banded.TAIL_MATCH, insb_words: int = 1):
     """Fused device step: gather pair rows from packed word buffers + extend.
 
     desc: int32[PB, 9] with columns DESC_COLS. Returns the extend_batch output
@@ -46,7 +47,8 @@ def gather_extend(words_q, words_t, desc, W: int, L: int,
     tb = _gather_rows(words_t, c["tg"], c["tglen"],
                       jnp.zeros((PB,), bool), L)
     out = banded._extend_batch_jit(qb, c["qlen"], tb, c["tlen"],
-                                   c["aq"], c["at"], W=W, tail_match=tail_match)
+                                   c["aq"], c["at"], W=W, tail_match=tail_match,
+                                   insb_words=insb_words)
     out["qbatch"] = qb
     return out
 
@@ -106,6 +108,7 @@ class ExtendEngine:
         W: int,
         groups: Optional[np.ndarray] = None,   # chunk-purity key per pair
         window_margin: int = 600,
+        insb_words: int = 1,
     ) -> List[ExtChunk]:
         """Dispatch all pairs; returns chunks (bucket- and tier-pure).
 
@@ -164,11 +167,13 @@ class ExtendEngine:
                 if self.mesh is not None and PB % self.mesh.size == 0:
                     # pair rows data-parallel over the chip mesh
                     from necat_tpu.parallel.mesh import sharded_gather_extend_fn
-                    fn = sharded_gather_extend_fn(self.mesh, W=W, L=L)
+                    fn = sharded_gather_extend_fn(self.mesh, W=W, L=L,
+                                                  insb_words=insb_words)
                     out = fn(self.qdev.words, self.sdev.words, jnp.asarray(desc))
                 else:
                     out = gather_extend(self.qdev.words, self.sdev.words,
-                                        jnp.asarray(desc), W=W, L=L)
+                                        jnp.asarray(desc), W=W, L=L,
+                                        insb_words=insb_words)
                 try:
                     out["stats"].copy_to_host_async()
                 except Exception:

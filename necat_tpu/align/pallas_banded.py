@@ -312,8 +312,8 @@ def _pick_sub_bt(PB: int, W: int) -> int:
 N_INSB = 7       # inserted bases emitted per column end (= max_delta - 1)
 
 
-def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
-                      cur_ref, *, W: int, SUB: int):
+def _backtrack_kernel(dirs_ref, la_ref, lb_ref, *out_refs, W: int, SUB: int,
+                      WORDS: int):
     """Walk the optimal path backward from (la, lb), one TARGET COLUMN per
     step (insertion runs within a column are collapsed via a lane scan).
     Grid: (PB//SUB, n_jb) with blocks visited high column -> low (reversed
@@ -327,7 +327,14 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
              last  N_INSB inserted bases (bits 14+2(d-1), counted backward) —
              the forward tag pass reads the first run, the reversed pass the
              last (insertion deltas flip under reversal).
+      WORDS > 1 emits additional insb words covering runs up to 7*WORDS
+      inserted bases (word w holds run ranks 7(w-1)+1..7w) — the polish
+      stage's u16-delta capacity (ctg_cns fc_correct_one_read.h:17-19).
     """
+    cols_ref = out_refs[0]
+    insb_refs = out_refs[1:1 + WORDS]
+    fslot_ref = out_refs[1 + WORDS]
+    cur_ref = out_refs[2 + WORDS]
     CBLK = CBLK_BT
     jb = pl.program_id(1)
     n_jb = pl.num_programs(1)
@@ -372,25 +379,31 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
         o = jnp.where(row_sel <= 0, OP_DEL, o)              # row 0: all-del border
         match = jnp.where(o == OP_DIAG, 1 - ((vsel >> 2) & 1), 0)
         qbase = jnp.where(o == OP_DIAG, (vsel >> 3) & 3, 0)
-        # inserted bases of the run (lanes sel+1..curc): first N_INSB at bits
-        # 2(d-1) (d = lane-sel), last N_INSB at bits 14+2(curc-lane) — ONE
-        # positionally-weighted masked sum replaces 2*N_INSB lane reductions
-        kc = jnp.minimum(k, N_INSB)
+        # inserted bases of the run (lanes sel+1..curc): word w records run
+        # ranks 7w+1..7w+7 — first at bits 2(d-1-7w), last at bits
+        # 14+2(d_b-7w) counted backward — ONE positionally-weighted masked
+        # sum per word replaces 2*N_INSB lane reductions
+        kc = jnp.minimum(k, N_INSB * WORDS)
         d_f = lane - sel                                    # 1-based run rank
         d_b = curc - lane                                   # 0-based from the end
-        in_f = (d_f >= 1) & (d_f <= kc)
-        in_b = (d_b >= 0) & (d_b < kc)
-        terms = jnp.where(in_f, qb_lane << jnp.clip(2 * (d_f - 1), 0, 30), 0) \
-            + jnp.where(in_b, qb_lane << jnp.clip(14 + 2 * d_b, 0, 30), 0)
-        insv = jnp.sum(terms, axis=1, keepdims=True)
         val = jnp.where(active, (k << 5) | (qbase << 3) | (match << 2) | o, OP_PAD)
         acc = jnp.where(lane_c == jl, val, acc)
-        acc_i = jnp.where(lane_c == jl, jnp.where(active, insv, 0), acc_i)
+        acc_i_new = []
+        for w in range(WORDS):
+            d0 = N_INSB * w
+            in_f = (d_f >= d0 + 1) & (d_f <= jnp.minimum(kc, d0 + N_INSB))
+            in_b = (d_b >= d0) & (d_b < jnp.minimum(kc, d0 + N_INSB))
+            terms = jnp.where(in_f, qb_lane << jnp.clip(2 * (d_f - 1 - d0), 0, 30), 0) \
+                + jnp.where(in_b, qb_lane << jnp.clip(14 + 2 * (d_b - d0), 0, 30), 0)
+            insv = jnp.sum(terms, axis=1, keepdims=True)
+            acc_i_new.append(jnp.where(
+                lane_c == jl, jnp.where(active, insv, 0), acc_i[w]))
+        acc_i = acc_i_new
         # diag consumes a query row; slot is preserved under the static
         # schedule (offs[j] - offs[j-1] = 1): diag -> sel, del -> sel + 1
         cur_new = jnp.clip(jnp.where(o == OP_DIAG, sel, sel + 1), 0, W - 1)
         cur = jnp.where(active, jnp.broadcast_to(cur_new, (SUB, W)), cur)
-        return cur, acc, acc_i
+        return cur, acc, tuple(acc_i)
 
     # skip blocks whose columns are beyond every pair's lb (pure padding):
     # the walk state is untouched there, so the whole column loop is dead
@@ -399,17 +412,19 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
     @pl.when(run)
     def _active():
         acc0 = jnp.full((SUB, CBLK), OP_PAD, jnp.int32)
-        acc_i0 = jnp.zeros((SUB, CBLK), jnp.int32)
+        acc_i0 = tuple(jnp.zeros((SUB, CBLK), jnp.int32) for _ in range(WORDS))
         cur, acc, acc_i = jax.lax.fori_loop(0, CBLK, col_step,
                                             (cur_ref[:, :], acc0, acc_i0))
         cur_ref[:, :] = cur
         cols_ref[:, :] = acc
-        insb_ref[:, :] = acc_i
+        for w in range(WORDS):
+            insb_refs[w][:, :] = acc_i[w]
 
     @pl.when(jnp.logical_not(run))
     def _dead():
         cols_ref[:, :] = jnp.full((SUB, CBLK), OP_PAD, jnp.int32)
-        insb_ref[:, :] = jnp.zeros((SUB, CBLK), jnp.int32)
+        for w in range(WORDS):
+            insb_refs[w][:, :] = jnp.zeros((SUB, CBLK), jnp.int32)
 
     @pl.when(jb == n_jb - 1)
     def _final():
@@ -417,10 +432,11 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, cols_ref, insb_ref, fslot_ref,
 
 
 def banded_backtrack_cols(dirs, la, lb, W: int, max_cols: int,
-                          interpret: bool = False):
+                          interpret: bool = False, words: int = 1):
     """dirs [PB, MC, W] (static-schedule forward, enriched bytes) -> the
-    per-column encoding (cols, insb, lead) defined by banded.ops_to_cols.
-    Requires the static band schedule of banded_forward_pallas."""
+    per-column encoding (cols, insb tuple, lead) defined by banded.ops_to_cols.
+    Requires the static band schedule of banded_forward_pallas. `words` insb
+    words extend the recoverable insertion-run length to 7*words."""
     PB, MC, Wd = dirs.shape
     assert Wd == W and MC % CBLK_BT == 0 and MC >= max_cols
     SUB = _pick_sub_bt(PB, W)
@@ -430,8 +446,8 @@ def banded_backtrack_cols(dirs, la, lb, W: int, max_cols: int,
     la_v = jnp.broadcast_to(la[:, None], (PB, 128))
     lb_v = jnp.broadcast_to(lb[:, None], (PB, 128))
     rev = lambda pb, jb: (pb, n_jb - 1 - jb)
-    kern = functools.partial(_backtrack_kernel, W=W, SUB=SUB)
-    cols, insb, fslot = pl.pallas_call(
+    kern = functools.partial(_backtrack_kernel, W=W, SUB=SUB, WORDS=words)
+    out = pl.pallas_call(
         kern,
         grid=(PB // SUB, n_jb),
         in_specs=[
@@ -440,20 +456,22 @@ def banded_backtrack_cols(dirs, la, lb, W: int, max_cols: int,
             pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((SUB, CBLK_BT), rev),
-            pl.BlockSpec((SUB, CBLK_BT), rev),
-            pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
+            (pl.BlockSpec((SUB, CBLK_BT), rev),)
+            + (pl.BlockSpec((SUB, CBLK_BT), rev),) * words
+            + (pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),)
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((PB, MC), jnp.int32),
-            jax.ShapeDtypeStruct((PB, MC), jnp.int32),
-            jax.ShapeDtypeStruct((PB, 128), jnp.int32),
+            (jax.ShapeDtypeStruct((PB, MC), jnp.int32),)
+            + (jax.ShapeDtypeStruct((PB, MC), jnp.int32),) * words
+            + (jax.ShapeDtypeStruct((PB, 128), jnp.int32),)
         ),
         scratch_shapes=[
             pltpu.VMEM((SUB, W), jnp.int32),
         ],
         interpret=interpret,
     )(dirs.reshape(PB, MC * W), la_v, lb_v)
+    cols, insbs, fslot = out[0], out[1:1 + words], out[1 + words]
     ctr = W // 2 - (la - lb) // 2
     lead = jnp.clip(fslot[:, 0] - ctr, 0, la)
-    return cols[:, :max_cols], insb[:, :max_cols], lead.astype(jnp.int32)
+    return (cols[:, :max_cols], tuple(i[:, :max_cols] for i in insbs),
+            lead.astype(jnp.int32))

@@ -119,6 +119,17 @@ def compact_from_packed(
     return out
 
 
+@jax.jit
+def hot_insertion_mask(weights, coverage, min_cov):
+    """Positions whose TOTAL insertion evidence is a large fraction of the
+    coverage (>= 0.5*cov): the per-column majority fragments long insertion
+    runs across co-optimal alignment phasings (the reference's link DP threads
+    them, cns_aux.c:127-217) — these positions get the host link-DP fallback."""
+    ins_w = weights[:, 1:, :4, :].sum(axis=(1, 2))         # [TB, L]
+    covf = jnp.maximum(coverage, 1).astype(jnp.float32)
+    return (ins_w >= 0.5 * covf) & (coverage >= jnp.maximum(min_cov, 4))
+
+
 @functools.partial(jax.jit, static_argnames=("SL",))
 def consensus_stream(weights, coverage, min_cov, ins_frac, ins_offset, SL: int):
     """call_consensus + device-side compaction. Returns
@@ -155,8 +166,12 @@ def compact_from_stream(
     min_cov: int,
     min_size: int,
     raw_min_gap: int,
+    overrides: dict | None = None,   # row -> {t -> np.ndarray of bases}
 ) -> List[Tuple[List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]]]:
-    """Host side of consensus_stream: identical output to compact_consensus."""
+    """Host side of consensus_stream: identical output to compact_consensus.
+
+    `overrides` replaces the emitted bases of individual template positions
+    (the link-DP hotspot splice, consensus/correct.py _hot_region_overrides)."""
     TB = stream.shape[0]
     out = []
     for b in range(TB):
@@ -167,6 +182,7 @@ def compact_from_stream(
         if n == 0:
             out.append((cns_pieces, raw_pieces))
             continue
+        ovr = (overrides or {}).get(b) or {}
         dif = np.diff(np.r_[0, cov.astype(np.int8), 0])
         starts = np.flatnonzero(dif == 1)
         ends = np.flatnonzero(dif == -1)
@@ -175,7 +191,22 @@ def compact_from_stream(
                 continue
             lo = int(cum_t[b, s - 1]) if s > 0 else 0
             hi = int(cum_t[b, e - 1])
-            seq = stream[b, lo:hi]
+            touched = [t for t in ovr if s <= t < e]
+            if touched:
+                parts = []
+                prev = int(s)
+                for t in sorted(touched):
+                    plo = int(cum_t[b, prev - 1]) if prev > 0 else 0
+                    tlo = int(cum_t[b, t - 1]) if t > 0 else 0
+                    thi = int(cum_t[b, t])
+                    parts.append(stream[b, plo:tlo])
+                    parts.append(np.asarray(ovr[t], np.uint8))
+                    prev = t + 1
+                plo = int(cum_t[b, prev - 1]) if prev > 0 else 0
+                parts.append(stream[b, plo:hi])
+                seq = np.concatenate(parts) if parts else stream[b, lo:hi]
+            else:
+                seq = stream[b, lo:hi]
             if len(seq) >= min_size:
                 cns_pieces.append((int(s), int(e), seq.astype(np.uint8)))
         kept = [(s, e) for (s, e, _) in cns_pieces]

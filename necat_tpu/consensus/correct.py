@@ -176,7 +176,7 @@ class _Bucket:
 
 class _Tpl:
     __slots__ = ("tid", "bucket", "row", "n", "cand_idx", "cursor", "cov",
-                 "cutoff")
+                 "cutoff", "accepted")
 
     def __init__(self, tid, bucket, row, n, cand_idx):
         self.tid = tid
@@ -187,6 +187,8 @@ class _Tpl:
         self.cursor = 0
         self.cov = np.zeros(n, np.int32)
         self.cutoff = np.nan
+        self.accepted = []   # (qid, qdir, qoff, qend, toff, tend, w) —
+                             # retained in wide-delta mode for hotspot splicing
 
 
 def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
@@ -252,6 +254,8 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
 
         # ---------------- extension: one fused dispatch per chunk, zero
         # intermediate syncs; stats stream back asynchronously
+        insb_words = -(-max(opts.max_delta - 1, 1) // tags_mod.N_INSB)
+        insb_words = min(max(insb_words, 1), 3)
         with timed("cns.extend_pairs_total"):
             chunks = engine.submit(
                 sel=np.arange(npairs), qids=cands.qid[p_ci],
@@ -260,7 +264,7 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                 tg_base=tg_base, tsize=tsize,
                 aq=cands.qbeg[p_ci].astype(np.int64),
                 at_abs=cands.sbeg[p_ci].astype(np.int64),
-                W=opts.band_width, groups=gkey)
+                W=opts.band_width, groups=gkey, insb_words=insb_words)
             stats = new_stats(npairs)
             collect_stats(chunks, stats)
 
@@ -278,7 +282,7 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                         aq=cands.qbeg[p_ci[bad]].astype(np.int64),
                         at_abs=cands.sbeg[p_ci[bad]].astype(np.int64),
                         W=opts.band_width * opts.rescue_band_scale,
-                        groups=gkey[bad])
+                        groups=gkey[bad], insb_words=insb_words)
                     splice_rescue(chunks, rchunks, stats)
 
         # ---------------- round 0: estimate identity cutoffs
@@ -310,8 +314,16 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
             if round_id > 0:
                 pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, tsize, 5000, 100)
             ok &= pass_ident
+            wide_mode = 3 * D > 30
+            w_acc = tags_mod.calc_cns_weight(ident) if wide_mode else None
             for i in np.flatnonzero(ok):
-                tpls[p_tpl[i]].cov[tl[i]:tr[i]] += 1
+                t_ = tpls[p_tpl[i]]
+                t_.cov[tl[i]:tr[i]] += 1
+                if wide_mode:
+                    ci = p_ci[i]
+                    t_.accepted.append((int(cands.qid[ci]), int(cands.qdir[ci]),
+                                        int(ql[i]), int(qr[i]), int(tl[i]),
+                                        int(tr[i]), float(w_acc[i])))
 
         # ---------------- scatter: one fused dispatch per chunk
         with timed("cns.scatter_round_total"):
@@ -335,31 +347,168 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
         round_id += 1
 
     # ---------------- consensus call + bit-packed download + host compaction
-    packed_list = []
+    # 3-bit fields per delta fit int32 only up to D=10; the wide-delta path
+    # (polish, u16-delta role) downloads the compacted emission STREAM instead
+    use_stream = 3 * D > 30
+    dl_list = []
     with timed("cns.call_consensus"):
         for b in buckets:
-            packed = consensus_packed(b.weights[:TB], b.covten[:TB],
+            if use_stream:
+                from necat_tpu.consensus.backbone import (consensus_stream,
+                                                          hot_insertion_mask)
+                SL = b.Lt + max(1024, b.Lt // 4)
+                hot = hot_insertion_mask(b.weights[:TB], b.covten[:TB],
+                                         opts.min_cov)
+                dl = consensus_stream(b.weights[:TB], b.covten[:TB],
                                       opts.min_cov, opts.ins_frac,
-                                      opts.ins_offset)
-            try:
-                packed.copy_to_host_async()
-            except Exception:
-                pass
-            packed_list.append(packed)
-            b.weights = b.covten = None     # free 255 MB per bucket early
+                                      opts.ins_offset, SL=SL) + (hot,)
+            else:
+                dl = (consensus_packed(b.weights[:TB], b.covten[:TB],
+                                       opts.min_cov, opts.ins_frac,
+                                       opts.ins_offset),)
+            for x in dl:
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    pass
+            dl_list.append(dl)
+            b.weights = b.covten = None     # free the tensors early
     records: List[CnsRecord] = []
-    for b, packed in zip(buckets, packed_list):
+    for bi, (b, dl) in enumerate(zip(buckets, dl_list)):
+        b._index = bi
         with timed("cns.compact"):
             tbatch_np, _ = store.padded_batch(b.ids, pad_to=b.Lt, multiple=1)
             # full consensus (-f 1, intermediate iterations) keeps reads whole:
             # covered-run threshold drops to 0.85*min_size (cbcns.c:200)
             min_run = (max(1, int(opts.min_size * 0.85))
                        if opts.full_consensus else None)
-            pieces = compact_from_packed(np.asarray(packed), b.tlens, tbatch_np,
-                                         opts.min_size, opts.raw_min_gap,
-                                         max_delta=D, min_run=min_run)
+            if use_stream:
+                from necat_tpu.consensus.backbone import compact_from_stream
+                stream, cum_t, n_emit, cov8, hot = dl
+                if int(np.asarray(n_emit).max(initial=0)) > stream.shape[1]:
+                    from necat_tpu.utils.logging import logger
+                    logger.warning("consensus stream overflow in a bucket; "
+                                   "emitted bases beyond SL are dropped")
+                overrides = _bucket_hot_overrides(store, b, tpls,
+                                                  np.asarray(hot), tbatch_np)
+                pieces = compact_from_stream(
+                    np.asarray(stream), np.asarray(cum_t), np.asarray(cov8),
+                    b.tlens, tbatch_np, opts.min_cov, opts.min_size,
+                    opts.raw_min_gap, overrides=overrides)
+            else:
+                pieces = compact_from_packed(np.asarray(dl[0]), b.tlens,
+                                             tbatch_np, opts.min_size,
+                                             opts.raw_min_gap,
+                                             max_delta=D, min_run=min_run)
         records.extend(_emit_records(b, pieces, tbatch_np, opts))
     return records
+
+
+def _bucket_hot_overrides(store, b: _Bucket, tpls, hot: np.ndarray,
+                          tbatch_np: np.ndarray, pad: int = 60) -> dict:
+    """Link-DP fallback for insertion hotspots (wide-delta/polish mode).
+
+    Long insertion runs (a contig missing a chunk every read contains) split
+    across co-optimal alignment phasings, so no single (t, delta) cell wins
+    the majority vote. For each hotspot region: re-align the covering read
+    segments against the local template ON THE HOST (one canonical aligner =
+    consistent phasing), run the reference link DP (consensus_linkdp), and
+    override the affected positions' emissions. Reference: ctg_cns u16-delta
+    consensus (fc_correct_one_read.c) + cns_aux.c:127-217."""
+    from necat_tpu.consensus.linkdp import (consensus_linkdp, host_edit_ops,
+                                            tags_from_ops)
+    overrides: dict = {}
+    bi = getattr(b, "_index", None)
+    for t_ in tpls:
+        if t_.bucket != bi or not t_.accepted:
+            continue
+        row = t_.row
+        n = t_.n
+        hot_pos = np.flatnonzero(hot[row, :n])
+        if len(hot_pos) == 0:
+            continue
+        # cluster hot positions into regions (gaps <= 50 merge)
+        regions = []
+        rs = re = int(hot_pos[0])
+        for t in hot_pos[1:]:
+            if t - re <= 50:
+                re = int(t)
+            else:
+                regions.append((rs, re + 1))
+                rs = re = int(t)
+        regions.append((rs, re + 1))
+        row_ovr: dict = {}
+        for (rs, re) in regions:
+            lo, hi = max(0, rs - pad), min(n, re + pad)
+            if hi - lo > 4000:
+                continue                      # structural-scale; out of scope
+            t_local = tbatch_np[row, lo:hi].astype(np.uint8)
+            # 1. extract the read segments spanning the window (semiglobal
+            # trim against the draft absorbs interpolation drift)
+            segs = []
+            for (qid, qdir, qo, qe, to, te, w) in t_.accepted:
+                if to >= hi or te <= lo:
+                    continue
+                span_t = max(te - to, 1)
+                drift = 60 + span_t // 100
+                qs = qo + (qe - qo) * (lo - to) // span_t
+                q2 = qo + (qe - qo) * (hi - to) // span_t
+                qs = max(qo, qs - drift)
+                q2 = min(qe, q2 + drift)
+                if q2 - qs < (min(hi, te) - max(lo, to)) // 2:
+                    continue
+                seq = store.get(qid)
+                if qdir:
+                    seq = (3 - seq[::-1]).astype(np.uint8)
+                qseg = np.asarray(seq[qs:q2], np.uint8)
+                ops, q_start, q_end = host_edit_ops(qseg, t_local)
+                if q_end - q_start < (hi - lo) // 2:
+                    continue
+                segs.append((qseg[q_start:q_end], float(w)))
+            if len(segs) < 4:
+                continue
+            # 2. local reassembly: consensus of the segments against a MEDIAN
+            # segment backbone. The backbone CONTAINS whatever the draft is
+            # missing, so the segment alignments have no systematic insertion
+            # runs and the link DP threads cleanly — draft-anchored tags
+            # fragment across co-optimal phasings instead.
+            segs.sort(key=lambda s: len(s[0]))
+            backbone = segs[len(segs) // 2][0]
+            all_tags = []
+            for (sg, w) in segs:
+                ops, q_start, _ = host_edit_ops(sg, backbone)
+                tg = tags_from_ops(ops, len(ops), sg, qoff=q_start, toff=0,
+                                   weight=w, max_delta=65535)
+                if tg:
+                    all_tags.extend(tg)
+            S, cf, ct_ = consensus_linkdp(all_tags, len(backbone))
+            if len(S) < (hi - lo) // 2:
+                continue
+            # 3. align the reassembled consensus back to the draft window:
+            # its per-template-column emissions become the overrides
+            ops2, _, _ = host_edit_ops(S, t_local)
+            from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS
+            per_t: dict = {}
+            j = -1
+            qp = 0
+            for op in ops2:
+                if op == OP_DIAG:
+                    j += 1
+                    per_t.setdefault(j, []).append(int(S[qp]))
+                    qp += 1
+                elif op == OP_DEL:
+                    j += 1
+                    per_t.setdefault(j, [])
+                else:  # OP_INS: attach after column j's emissions
+                    if j >= 0:
+                        per_t.setdefault(j, []).append(int(S[qp]))
+                    qp += 1
+            for t in range(rs, re):
+                if (t - lo) in per_t:
+                    row_ovr[t] = np.array(per_t[t - lo], np.uint8)
+        if row_ovr:
+            overrides[row] = row_ovr
+    return overrides
 
 
 def _scatter_chunk(b: _Bucket, ch, row, w, tsz, at_abs, use_mm: bool):
@@ -377,11 +526,20 @@ def _scatter_chunk(b: _Bucket, ch, row, w, tsz, at_abs, use_mm: bool):
             from necat_tpu.align.banded import OP_PAD as _PAD
             Lt = b.Lt
             pc = tags_mod.pad_cols_to
+
+            def insb_tuple(side):
+                words = [o[f"{side}_insb"]]
+                w = 2
+                while f"{side}_insb{w}" in o:
+                    words.append(o[f"{side}_insb{w}"])
+                    w += 1
+                return tuple(pc(x, Lt, 0) for x in words)
+
             b.weights, b.covten = tags_mod.scatter_chunk_mm(
                 b.weights, b.covten,
-                pc(o["left_cols"], Lt, _PAD), pc(o["left_insb"], Lt, 0),
+                pc(o["left_cols"], Lt, _PAD), insb_tuple("left"),
                 o["left_lead"], o["left_leadb"], o["left_jc"],
-                pc(o["right_cols"], Lt, _PAD), pc(o["right_insb"], Lt, 0),
+                pc(o["right_cols"], Lt, _PAD), insb_tuple("right"),
                 o["right_lead"], o["right_leadb"], o["right_jc"],
                 at_j, row_j, w_j, tsz_j)
         else:

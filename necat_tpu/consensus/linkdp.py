@@ -62,11 +62,64 @@ def tags_from_ops(ops: np.ndarray, n_ops: int, qbases: np.ndarray,
     return tags
 
 
+def host_edit_ops(q: np.ndarray, t: np.ndarray):
+    """Query-semiglobal edit-distance alignment of q vs t on the host: the
+    full template window must be consumed, query overhangs on both sides are
+    free. Returns (ops, q_start, q_end) — the op string (banded.OP_*
+    encoding, forward order) covering q[q_start:q_end] vs all of t.
+    Row-vectorized numpy DP (the in-row insertion chain resolved with the
+    same cummin trick as the device kernel); hotspot windows only."""
+    from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS
+    n, m = len(q), len(t)
+    D = np.zeros((n + 1, m + 1), np.int32)
+    D[0] = np.arange(m + 1)
+    ar = np.arange(m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        prev = D[i - 1]
+        sub = (t != q[i - 1]).astype(np.int32)
+        base = np.minimum(prev[:-1] + sub, prev[1:] + 1)
+        full = np.concatenate(([np.int32(0)], base))   # D[i][0]=0: free lead
+        D[i] = np.minimum.accumulate(full - ar) + ar
+    i = int(np.argmin(D[:, m]))                        # free trailing query
+    j = m
+    q_end = i
+    ops = []
+    while j > 0:
+        if i > 0 and D[i, j] == D[i - 1, j - 1] + (q[i - 1] != t[j - 1]):
+            ops.append(OP_DIAG)
+            i -= 1
+            j -= 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            ops.append(OP_INS)
+            i -= 1
+        else:
+            ops.append(OP_DEL)
+            j -= 1
+    return np.array(ops[::-1], np.uint8), i, q_end
+
+
+def consensus_linkdp_path(all_tags: List[tuple], template_size: int,
+                          seg_from: int = 0, seg_to: int | None = None):
+    """Like consensus_linkdp but returns the best path as a forward-ordered
+    list of (t, delta, base) nodes (gap nodes included) — the hotspot splice
+    needs per-position emissions."""
+    seq, cns_from, cns_to, path = _linkdp(all_tags, template_size, seg_from,
+                                          seg_to)
+    return path, cns_from, cns_to
+
+
 def consensus_linkdp(all_tags: List[tuple], template_size: int,
                      seg_from: int = 0, seg_to: int | None = None
                      ) -> Tuple[np.ndarray, int, int]:
     """build_backbone + consensus_backbone_segment. Returns (seq codes,
     cns_from, cns_to)."""
+    seq, cns_from, cns_to, _ = _linkdp(all_tags, template_size, seg_from,
+                                       seg_to)
+    return seq, cns_from, cns_to
+
+
+def _linkdp(all_tags: List[tuple], template_size: int,
+            seg_from: int = 0, seg_to: int | None = None):
     if seg_to is None:
         seg_to = template_size
     # backbone: nodes[(t, d, b)] = dict link(p_t,p_d,p_b) -> [count, weight]
@@ -116,10 +169,11 @@ def consensus_linkdp(all_tags: List[tuple], template_size: int,
             g_best = (bs, key)
 
     if g_best[1] is None:
-        return np.zeros(0, np.uint8), 0, 0
+        return np.zeros(0, np.uint8), 0, 0, []
     # backtrack (cns_aux.c:189-211): every path node emits its base except
     # the origin (whose best predecessor is the -1 sentinel)
     out = []
+    path = []
     key = g_best[1]
     cns_to = key[0] + 1
     cns_from = 0
@@ -130,7 +184,8 @@ def consensus_linkdp(all_tags: List[tuple], template_size: int,
             cns_from = key[0]
             break
         cns_from = p[0]
+        path.append(key)
         if bb != GAP:
             out.append(bb)
         key = p
-    return np.array(out[::-1], np.uint8), cns_from, cns_to
+    return np.array(out[::-1], np.uint8), cns_from, cns_to, path[::-1]

@@ -235,6 +235,11 @@ def _shift_left1(x, fill):
                    donate_argnames=("weights", "coverage"))
 def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
                          at, pair_row, pair_w, tsize, reversed_part: bool):
+    """insb: one int32[P, Lt] word or a tuple of them (word w serves run
+    ranks 7w+1..7w+7 — the polish long-insertion channel); leadb must carry
+    7*words leading-run bases."""
+    if not isinstance(insb, tuple):
+        insb = (insb,)
     """MXU formulation of scatter_pass_cols (same tags, same totals).
 
     Key observation: a column j's template position is an AFFINE function of j
@@ -277,13 +282,13 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     # flip for rev), done with the block-shift decomposition, not a gather
     if not reversed_part:
         colsS = _row_shift(cols, at)
-        insbS = _row_shift(insb, at)
+        insbS = tuple(_row_shift(x, at) for x in insb)
         colsI_s, insbI_s = colsS, insbS
     else:
         colsS = _row_shift(cols[:, ::-1], at - MC)
-        insbS = _row_shift(insb[:, ::-1], at - MC)
+        insbS = tuple(_row_shift(x[:, ::-1], at - MC) for x in insb)
         colsI_s = _shift_left1(colsS, 0)
-        insbI_s = _shift_left1(insbS, 0)
+        insbI_s = tuple(_shift_left1(x, 0) for x in insbS)
 
     # ---- delta-0 planes (one per base incl. gap) + coverage
     ok0 = (j_of_t >= 1) & (j_of_t <= jc[:, None]) & tok
@@ -303,13 +308,14 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     ji = j_of_t if not reversed_part else (j_of_t - 1)
     oki = (ji >= 1) & (ji <= jc[:, None] - 1) & tok
     colsI = jnp.where(oki, colsI_s, OP_PAD)
-    insbT = jnp.where(oki, insbI_s, 0)
+    insbT = tuple(jnp.where(oki, x, 0) for x in insbI_s)
     kI = jnp.where((colsI & 3) != OP_PAD, colsI >> 5, 0)
-    nd = min(D - 1, N_INSB)
+    nd = min(D - 1, N_INSB * len(insb))
     sh0 = 0 if not reversed_part else 14
     wk = []
     for d in range(1, nd + 1):
-        bd = (insbT >> (sh0 + 2 * (d - 1))) & 3
+        w_, dl = (d - 1) // N_INSB, (d - 1) % N_INSB
+        bd = (insbT[w_] >> (sh0 + 2 * dl)) & 3
         okd = kI >= d
         pl = (bd[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None]) \
             & okd[:, None, :]                                      # [P, 4, Lt]
@@ -350,16 +356,23 @@ def scatter_chunk_mm(weights, coverage,
                      right_cols, right_insb, right_lead, right_leadb, right_jc,
                      at, pair_row, pair_w, tsize):
     """Both extension passes of one chunk scattered in ONE dispatch
-    (pad-to-Lt included) — a tunnel-attached device sees a single launch."""
+    (pad-to-Lt included) — a tunnel-attached device sees a single launch.
+    left_insb/right_insb: one insb word or a tuple of them."""
     from necat_tpu.align.banded import OP_PAD as _PAD
     Lt = weights.shape[3]
+    if not isinstance(left_insb, tuple):
+        left_insb = (left_insb,)
+    if not isinstance(right_insb, tuple):
+        right_insb = (right_insb,)
     weights, coverage = scatter_pass_cols_mm(
         weights, coverage, pad_cols_to(right_cols, Lt, _PAD),
-        pad_cols_to(right_insb, Lt, 0), right_lead, right_leadb, right_jc,
+        tuple(pad_cols_to(x, Lt, 0) for x in right_insb),
+        right_lead, right_leadb, right_jc,
         at, pair_row, pair_w, tsize, reversed_part=False)
     weights, coverage = scatter_pass_cols_mm(
         weights, coverage, pad_cols_to(left_cols, Lt, _PAD),
-        pad_cols_to(left_insb, Lt, 0), left_lead, left_leadb, left_jc,
+        tuple(pad_cols_to(x, Lt, 0) for x in left_insb),
+        left_lead, left_leadb, left_jc,
         at, pair_row, pair_w, tsize, reversed_part=True)
     return weights, coverage
 

@@ -89,7 +89,7 @@ def sharded_candidates_fn(mesh: Mesh, *, k: int, shift: int, occ_cutoff: int,
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_gather_extend_fn(mesh: Mesh, *, W: int, L: int):
+def sharded_gather_extend_fn(mesh: Mesh, *, W: int, L: int, insb_words: int = 1):
     """shard_map'ed fused gather+extend chunk: descriptor rows sharded over
     the mesh, packed word buffers replicated. Each device runs the Pallas
     kernels on its PB/n_dev pair rows."""
@@ -101,10 +101,12 @@ def sharded_gather_extend_fn(mesh: Mesh, *, W: int, L: int):
         "left_cols", "left_insb", "left_lead", "left_leadb", "left_jc",
         "right_cols", "right_insb", "right_lead", "right_leadb", "right_jc",
         "qoff", "qend", "toff", "tend", "n_cols", "n_match", "ident",
-        "qbatch")
+        "qbatch") + tuple(
+            f"{side}_insb{w + 1}" for side in ("left", "right")
+            for w in range(1, insb_words))
 
     def per_shard(wq, wt, desc):
-        return gather_extend(wq, wt, desc, W=W, L=L)
+        return gather_extend(wq, wt, desc, W=W, L=L, insb_words=insb_words)
 
     out_specs = {k_: shard for k_ in row_sharded_keys}
     out_specs["stats"] = P(None, axis)

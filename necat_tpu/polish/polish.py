@@ -36,6 +36,11 @@ class PolishOptions:
     templates_per_batch: int = 4
     pairs_per_chunk: int = 32
     band_width: int = 256          # raw reads vs contig: wider band
+    # insertion states per template position: the reference's ctg_cns uses
+    # u16 deltas (fc_correct_one_read.h:17-19) precisely because contigs can
+    # miss multi-base chunks that every read shows as a long insertion run;
+    # 22 covers runs up to 21 inserted bases (3 insb words x 7)
+    max_delta: int = 22
 
 
 def split_contigs(contigs: ReadStore, seg_len: int) -> Tuple[ReadStore, List[Tuple[int, int]]]:
@@ -82,6 +87,7 @@ def polish_contigs(
         use_fixed_ident_cutoff=True, error=1.0 - opts.min_ident / 100.0,
         min_cov=opts.min_cov, max_cov=opts.max_cov, min_size=opts.min_size,
         raw_min_gap=1 << 30,  # gaps are filled from the template below instead
+        max_delta=opts.max_delta,
         templates_per_batch=opts.templates_per_batch,
         pairs_per_chunk=opts.pairs_per_chunk,
         band_width=opts.band_width)

@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Reference-parity harness: run reference NECAT and necat_tpu on the SAME
+simulated reads, measure both outputs with the SAME yardsticks, and write
+PARITY_RESULTS.md.
+
+Usage:
+  python scripts/parity.py [--genome-size 200000] [--coverage 20]
+      [--ref-bin /tmp/ref_build/Linux-amd64/bin] [--workdir /tmp/parity]
+      [--stages correct,assemble] [--num-iter 1]
+
+The reference must be built first (read-only source tree copied out):
+  cp -r /root/reference /tmp/ref_build && make -C /tmp/ref_build/src
+
+Metrics per pipeline (reference artifacts: README.md:117-140):
+  corrected reads: count, bases, N50, mean identity-to-genome (measured by
+  mapping the corrected reads back to the true genome with the same mapper);
+  contigs: count, bases, NG50 (vs the true genome size), mean identity.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+os.environ.setdefault("NECAT_TPU_JAX_CACHE", "/root/repo/.jax_cache")
+
+
+def n50(lengths, total=None):
+    ls = sorted(lengths, reverse=True)
+    if not ls:
+        return 0
+    tot = total if total is not None else sum(ls)
+    acc = 0
+    for x in ls:
+        acc += x
+        if acc * 2 >= tot:
+            return x
+    return ls[-1]
+
+
+def measure_store(store, genome_store, label, sample=80):
+    """Map `store` reads to the true genome; weighted mean identity + sizes."""
+    import numpy as np
+    from necat_tpu.overlap.options import MapOptions
+    from necat_tpu.overlap.overlapper import map_reads_to_reference
+    lens = store.lengths.tolist()
+    out = {
+        "n_seqs": store.n_reads,
+        "total_bases": int(store.total_bases),
+        "n50": int(n50(lens)),
+    }
+    sub = store
+    if store.n_reads > sample:
+        ids = np.linspace(0, store.n_reads - 1, sample).astype(int)
+        sub = store.subset(ids)
+    m4 = map_reads_to_reference(
+        sub, genome_store,
+        MapOptions(scan_window=5, ncan=4, block_score_cutoff=2,
+                   max_hits=1 << 20), min_align_size=1000, band_width=256)
+    if len(m4) == 0:
+        out["ident_to_genome"] = None
+        return out
+    span = (m4.qend - m4.qoff).astype(float)
+    out["ident_to_genome"] = round(float((m4.ident * span).sum() / span.sum()), 3)
+    # mapped fraction of sampled bases (unmapped = junk sequence)
+    per_read = {}
+    for i in range(len(m4)):
+        per_read[int(m4.qid[i])] = per_read.get(int(m4.qid[i]), 0) + int(span[i])
+    out["mapped_frac"] = round(sum(min(v, int(sub.lengths[k]))
+                                   for k, v in per_read.items())
+                               / float(sub.total_bases), 3)
+    return out
+
+
+def run_reference(args, cfg_path, wd):
+    env = dict(os.environ)
+    env["PATH"] = args.ref_bin + ":" + env["PATH"]
+    necat = os.path.join(args.ref_bin, "necat.pl")
+    res = {}
+    for stage in args.stages.split(","):
+        t0 = time.time()
+        p = subprocess.run(["perl", necat, stage, os.path.basename(cfg_path)],
+                           cwd=wd, env=env, capture_output=True, text=True)
+        res[f"{stage}_wall_s"] = round(time.time() - t0, 1)
+        if p.returncode != 0:
+            print(p.stdout[-3000:], p.stderr[-3000:])
+            raise RuntimeError(f"reference necat.pl {stage} failed")
+    return res
+
+
+def run_ours(args, cfg_path, wd):
+    from necat_tpu.pipeline.config import load_config
+    from necat_tpu.pipeline.stages import Project
+    cfg = load_config(cfg_path)
+    prj = Project(cfg, os.path.join(wd, cfg.project))
+    res = {}
+    for stage in args.stages.split(","):
+        t0 = time.time()
+        if stage == "correct":
+            prj.run_correct()
+        elif stage == "assemble":
+            prj.run_assemble()
+        elif stage == "bridge":
+            prj.run_bridge()
+        res[f"{stage}_wall_s"] = round(time.time() - t0, 1)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-size", type=int, default=200_000)
+    ap.add_argument("--coverage", type=float, default=20)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--ref-bin", default="/tmp/ref_build/Linux-amd64/bin")
+    ap.add_argument("--workdir", default="/tmp/parity")
+    ap.add_argument("--stages", default="correct,assemble")
+    ap.add_argument("--num-iter", type=int, default=1)
+    ap.add_argument("--out", default="PARITY_RESULTS.md")
+    args = ap.parse_args()
+
+    from necat_tpu.utils.device import setup_runtime
+    setup_runtime()
+    from necat_tpu.io.readstore import ReadStore
+    from necat_tpu.utils.benchdata import gen_benchmark_reads
+
+    os.makedirs(args.workdir, exist_ok=True)
+    genome, store, _ = gen_benchmark_reads(genome_size=args.genome_size,
+                                           coverage=args.coverage,
+                                           seed=args.seed)
+    genome_store = ReadStore.from_seqs([genome], ["genome"])
+    reads_path = os.path.join(args.workdir, "reads.fasta")
+    store.to_fasta(reads_path)
+    list_path = os.path.join(args.workdir, "read_list.txt")
+    with open(list_path, "w") as f:
+        f.write(reads_path + "\n")
+
+    cfg_common = (
+        f"ONT_READ_LIST={list_path}\nGENOME_SIZE={args.genome_size}\n"
+        f"THREADS=2\nMIN_READ_LENGTH=3000\nPREP_OUTPUT_COVERAGE=40\n"
+        "OVLP_FAST_OPTIONS=-n 500 -z 20 -b 2000 -e 0.5 -j 0 -u 1 -a 1000\n"
+        "OVLP_SENSITIVE_OPTIONS=-n 500 -z 10 -e 0.5 -j 0 -u 1 -a 1000\n"
+        "CNS_FAST_OPTIONS=-a 2000 -x 4 -y 12 -l 1000 -e 0.5 -p 0.8 -u 0\n"
+        "CNS_SENSITIVE_OPTIONS=-a 2000 -x 4 -y 12 -l 1000 -e 0.5 -p 0.8 -u 0\n"
+        "TRIM_OVLP_OPTIONS=-n 100 -z 10 -b 2000 -e 0.5 -j 1 -u 1 -a 400\n"
+        "ASM_OVLP_OPTIONS=-n 100 -z 10 -b 2000 -e 0.5 -j 1 -u 0 -a 400\n"
+        f"NUM_ITER={args.num_iter}\nCNS_OUTPUT_COVERAGE=30\nCLEANUP=0\n"
+        "USE_GRID=false\nGRID_NODE=0\nGRID_OPTIONS=\nSMALL_MEMORY=0\n"
+        "FSA_OL_FILTER_OPTIONS=\nFSA_ASSEMBLE_OPTIONS=\nFSA_CTG_BRIDGE_OPTIONS=\n"
+        "POLISH_CONTIGS=false\n")
+    ref_cfg = os.path.join(args.workdir, "ref.cfg")
+    with open(ref_cfg, "w") as f:
+        f.write("PROJECT=ref_prj\n" + cfg_common)
+    our_cfg = os.path.join(args.workdir, "tpu.cfg")
+    with open(our_cfg, "w") as f:
+        f.write("PROJECT=tpu_prj\n" + cfg_common)
+
+    print("== running necat_tpu ==", flush=True)
+    ours_t = run_ours(args, our_cfg, args.workdir)
+    print("== running reference ==", flush=True)
+    ref_t = run_reference(args, ref_cfg, args.workdir)
+
+    rows = {}
+    pairs = {
+        "corrected": ("ref_prj/1-consensus/cns_final.fasta.gz",
+                      "tpu_prj/1-consensus/cns_final.fasta.gz"),
+        "contigs": ("ref_prj/4-fsa/contigs.fasta",
+                    "tpu_prj/4-fsa/contigs.fasta"),
+    }
+    if "assemble" not in args.stages:
+        pairs.pop("contigs")
+    for label, (ref_rel, tpu_rel) in pairs.items():
+        for side, rel in (("reference", ref_rel), ("necat_tpu", tpu_rel)):
+            path = os.path.join(args.workdir, rel)
+            if not os.path.exists(path):
+                rows[(label, side)] = {"missing": path}
+                continue
+            st = ReadStore.from_fasta(path)
+            rows[(label, side)] = measure_store(st, genome_store, label)
+
+    lines = [
+        "# PARITY_RESULTS — reference NECAT vs necat_tpu",
+        "",
+        f"Same simulated reads (genome {args.genome_size/1e3:.0f} kb, "
+        f"{args.coverage:.0f}x ONT@15% err, seed {args.seed}); same config "
+        f"(NUM_ITER={args.num_iter}, THREADS=2 for the reference). Identity "
+        "measured by mapping each output back to the true genome with the "
+        "same mapper (scripts/parity.py).",
+        "",
+        "| output | metric | reference | necat_tpu |",
+        "|---|---|---|---|",
+    ]
+    metrics = ["n_seqs", "total_bases", "n50", "ident_to_genome", "mapped_frac"]
+    for label in pairs:
+        r = rows.get((label, "reference"), {})
+        t = rows.get((label, "necat_tpu"), {})
+        for m in metrics:
+            lines.append(f"| {label} | {m} | {r.get(m)} | {t.get(m)} |")
+    lines.append("")
+    lines.append(f"Wall times: reference {ref_t}; necat_tpu {ours_t} "
+                 "(reference on 2 vCPUs, necat_tpu on 1 TPU v5e chip through "
+                 "a tunnel).")
+    lines.append("")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            args.out)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    print(json.dumps({"ref": ref_t, "tpu": ours_t}))
+
+
+if __name__ == "__main__":
+    main()

@@ -175,7 +175,8 @@ def test_scatter_pass_cols_matches_scatter_pass():
     dirs, offs, _, _ = banded_forward(aj, bj, jnp.asarray(la), jnp.asarray(lb), W, max_cols=L)
     ops, n_ops = banded_traceback(dirs, offs, jnp.asarray(la), jnp.asarray(lb), 2 * L)
     n_clip, _ = clip_tail(ops, n_ops, aj, bj)
-    cols, insb, lead = ops_to_cols(ops, n_ops, aj, bj, MC=L)
+    cols, insb_words, lead = ops_to_cols(ops, n_ops, aj, bj, MC=L)
+    insb = insb_words[0]
     st = cols_clip_stats(cols, lead, aj, bj)
 
     pair_row = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
@@ -302,3 +303,59 @@ def test_full_consensus_stitches_whole_read():
         assert len(rr) == 1, f"read {tid}: {len(rr)} records under -f 1"
         assert rr[0].left == 0 and rr[0].right == rr[0].org_size
     assert sum(1 for r in recs if r.corrected) >= rs.n_reads * 0.5
+
+
+def test_mm_scatter_wide_delta_matches_oracle():
+    """words=3 insb channels (the polish u16-delta capacity): the MXU scatter
+    must reproduce the query-axis oracle for insertion runs longer than 7."""
+    from necat_tpu.align.banded import extend_batch
+
+    rng = np.random.default_rng(13)
+    P, L, W, D = 8, 512, 64, 22
+    TB, Lt = 2, 640
+    em = simulate.ErrorModel(sub=0.03, ins=0.02, dele=0.02)
+    a = np.zeros((P, L), np.uint8)
+    b = np.zeros((P, L), np.uint8)
+    la = np.zeros(P, np.int32)
+    lb = np.zeros(P, np.int32)
+    for i in range(P):
+        t = rng.integers(0, 4, 400).astype(np.uint8)
+        q = simulate.mutate(t, em, rng)
+        # plant a 12-20 bp insertion mid-read
+        ins = rng.integers(0, 4, int(rng.integers(12, 21))).astype(np.uint8)
+        cut = int(rng.integers(100, 300))
+        q = np.concatenate([q[:cut], ins, q[cut:]])[:L]
+        a[i, :len(q)] = q; la[i] = len(q)
+        b[i, :len(t)] = t; lb[i] = len(t)
+    aq = (la // 3).astype(np.int32)
+    at = (la // 3).astype(np.int32)  # rough anchor; extension finds the path
+    res = extend_batch(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b),
+                       jnp.asarray(lb), jnp.asarray(aq), jnp.asarray(at),
+                       W=W, insb_words=3)
+    pair_row = jnp.asarray(np.array([0, 1] * (P // 2), np.int32))
+    pair_w = jnp.asarray(rng.random(P).astype(np.float32) + 0.5)
+    tsize = jnp.full((P,), Lt, jnp.int32)
+    w0 = jnp.zeros((TB + 1, D, 5, Lt), jnp.float32)
+    c0 = jnp.zeros((TB + 1, Lt), jnp.int32)
+    args = (res.qbatch if hasattr(res, "qbatch") else jnp.asarray(a),
+            jnp.asarray(aq), jnp.asarray(at), pair_row, pair_w, tsize)
+    w_or, c_or = tags_mod.scatter_pass_cols(
+        w0, c0, res.right_cols, res.right_lead, res.right_jc, *args,
+        reversed_part=False)
+    w_or, c_or = tags_mod.scatter_pass_cols(
+        w_or, c_or, res.left_cols, res.left_lead, res.left_jc, *args,
+        reversed_part=True)
+    w_mm, c_mm = tags_mod.scatter_chunk_mm(
+        w0, c0,
+        tags_mod.pad_cols_to(res.left_cols, Lt, 3),
+        tuple(tags_mod.pad_cols_to(x, Lt, 0)
+              for x in (res.left_insb, res.left_insb2, res.left_insb3)),
+        res.left_lead, res.left_leadb, res.left_jc,
+        tags_mod.pad_cols_to(res.right_cols, Lt, 3),
+        tuple(tags_mod.pad_cols_to(x, Lt, 0)
+              for x in (res.right_insb, res.right_insb2, res.right_insb3)),
+        res.right_lead, res.right_leadb, res.right_jc,
+        jnp.asarray(at), pair_row, pair_w, tsize)
+    np.testing.assert_array_equal(np.asarray(c_or), np.asarray(c_mm))
+    np.testing.assert_allclose(np.asarray(w_or), np.asarray(w_mm),
+                               rtol=0, atol=1e-5)

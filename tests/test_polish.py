@@ -39,3 +39,46 @@ def test_polish_improves_draft():
     after = ident(c)
     assert after > before + 0.5, f"polish did not improve: {before:.2f} -> {after:.2f}"
     assert after >= 99.0, f"polished identity {after:.2f}"
+
+
+def test_polish_fixes_planted_long_insertion():
+    """A contig missing a 20 bp chunk (every read shows a 20 bp insertion run)
+    must be repaired — the reference built u16 deltas for exactly this
+    (ctg_cns/fc_correct_one_read.h:17-19); our equivalent is the multi-word
+    insb channel (max_delta=22)."""
+    rng = np.random.default_rng(11)
+    truth = simulate.random_genome(24000, seed=15)
+    drop = 17000
+    draft = np.concatenate([truth[:drop], truth[drop + 20:]])  # 20 bp missing
+    contigs = ReadStore.from_seqs([draft], ["ctg0"])
+    reads, *_ = simulate.simulate_reads(
+        truth, coverage=14, mean_len=7000, min_len=4000, max_len=10000,
+        em=simulate.ErrorModel(0.03, 0.03, 0.03), seed=16, circular=False)
+    raw = ReadStore.from_seqs(reads)
+    pol = polish_contigs(contigs, raw,
+                         opts=PolishOptions(segment_size=16384, min_ident=75.0,
+                                            templates_per_batch=2))
+    c = pol.get(0)
+
+    def best_substring_ed(hay, needle):
+        m = len(needle)
+        D0 = np.arange(m + 1, dtype=np.int32)
+        ar = np.arange(m + 1, dtype=np.int32)
+        best = int(D0[m])
+        prev = D0
+        for x in hay:
+            sub = (needle != x).astype(np.int32)
+            base = np.minimum(prev[:-1] + sub, prev[1:] + 1)
+            full = np.concatenate(([np.int32(0)], base))
+            prev = np.minimum.accumulate(full - ar) + ar
+            best = min(best, int(prev[m]))
+        return best
+
+    # the dropped 20-mer with 40bp context must reappear (the draft is >= 18
+    # edits away from this pattern; contig ends stay at raw-read quality at
+    # this toy coverage, so whole-sequence identity is not the right check)
+    pattern = truth[16960:17060]
+    ed_d = best_substring_ed(draft[16600:17400], pattern)
+    ed_c = best_substring_ed(c[16600:17400], pattern)
+    assert ed_d >= 15, f"test degenerate: draft already matches (ed {ed_d})"
+    assert ed_c <= 4, f"insertion region not restored (ed {ed_c} vs draft {ed_d})"
