@@ -31,11 +31,15 @@ class FilterOptions:
     min_length: int = 2500
     min_aligned_length: int = 2500
     bestn: int = 10
-    min_coverage: int = -1           # auto when < 0
+    # coverage params (auto-selected from the per-read min/max coverage
+    # distributions when < 0 — CoverageParam, overlap_filter.cpp:1267-1349)
+    min_coverage: int = -1
     max_coverage: int = -1
-    coverage_discard: float = 0.01
+    max_diff_coverage: int = -1
+    coverage_discard: float = 1.0    # percentile (%, coverage_discard_)
     identity_deviation: float = 6.0  # identity_global_deviation2_
     overhang_deviation: float = 6.0
+    lack_of_support: bool = True     # FilterLackOfSupport pass
 
 
 @dataclasses.dataclass
@@ -166,22 +170,29 @@ def filter_overlaps(m4: M4Records, n_reads: int, opts: FilterOptions = FilterOpt
     keep3 = np.flatnonzero(~(contained[m4.qid] | contained[m4.sid]))
     m4, cl = m4.take(keep3), cl.take(keep3)
 
-    # --- coverage filter (FilterCoverage): per-read max depth of overlap intervals
+    # --- coverage filter (FilterCoverage, overlap_filter.cpp:690-718): drop
+    # reads whose coverage profile min/max/diff falls outside the auto params
     filtered_reads = np.zeros(n_reads, bool)
+    min_cov_param = max(opts.min_coverage, 0)
     if len(m4):
-        max_covs = _per_read_max_cov(cl, n_reads)
-        have = max_covs > 0
-        if have.sum() >= 8:
-            mc = max_covs[have]
-            if opts.max_coverage < 0:
-                p75 = np.percentile(mc, 75)
-                cap = max(p75 * 4, 20)
-            else:
-                cap = opts.max_coverage
-            bad = max_covs > cap
+        covs = _per_read_minmax_cov(cl, n_reads, int(max_oh))
+        have = np.flatnonzero(covs[:, 1] > 0)
+        if len(have) >= 8:
+            pmin, pmax, pdiff = _coverage_params(covs[have], opts)
+            min_cov_param = pmin
+            bad = np.zeros(n_reads, bool)
+            bad[have] = ((covs[have, 0] < pmin) | (covs[have, 1] > pmax)
+                         | (covs[have, 1] - covs[have, 0] > pdiff))
             filtered_reads = bad
             keep4 = np.flatnonzero(~(bad[m4.qid] | bad[m4.sid]))
             m4, cl = m4.take(keep4), cl.take(keep4)
+
+    # --- lack-of-support (FilterLackOfSupport, :751-762): an overlap whose
+    # junction isn't corroborated by other overlaps at the same read ends is
+    # a likely repeat-induced false join
+    if len(m4) and opts.lack_of_support:
+        keep_s = _support_mask(cl, max(0, min_cov_param - 1))
+        m4, cl = m4.take(np.flatnonzero(keep_s)), cl.take(np.flatnonzero(keep_s))
 
     # --- best-N per read per end (side classification on clamped coords)
     if len(m4) and opts.bestn > 0:
@@ -192,28 +203,71 @@ def filter_overlaps(m4: M4Records, n_reads: int, opts: FilterOptions = FilterOpt
                         np.flatnonzero(contained), np.flatnonzero(filtered_reads))
 
 
-def _per_read_max_cov(m4: M4Records, n_reads: int, bin_size: int = 500) -> np.ndarray:
-    """Approximate per-read max overlap depth using bins."""
-    max_cov = np.zeros(n_reads, np.int32)
+def _per_read_minmax_cov(m4: M4Records, n_reads: int, overhang_limit: int
+                         ) -> np.ndarray:
+    """Per-read (min, max) of the coverage profile over its overlaps, with
+    intervals extended by the overhang limit (CalcMinMaxCoverage,
+    overlap_filter.cpp:1209-1247). Exact diff-array per read; returns
+    int32[n_reads, 2] ((0, 0) for reads with no overlaps)."""
+    covs = np.zeros((n_reads, 2), np.int32)
     qoff_f, qend_f = m4.fwd_query_range()
+    # one global diff array over concatenated read coordinate spaces
+    sizes = np.zeros(n_reads, np.int64)
+    for ids, size in ((m4.qid, m4.qsize), (m4.sid, m4.ssize)):
+        sizes[ids] = size
+    starts = np.concatenate([[0], np.cumsum(sizes + 1)])
+    total = int(starts[-1])
+    diff = np.zeros(total + 1, np.int32)
     for ids, lo, hi, size in ((m4.qid, qoff_f, qend_f, m4.qsize),
                               (m4.sid, m4.soff, m4.send, m4.ssize)):
-        order = np.argsort(ids, kind="stable")
-        ids_s = ids[order]
-        bounds = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
-        bounds = np.r_[bounds, len(ids_s)]
-        for i in range(len(bounds) - 1):
-            s, e = bounds[i], bounds[i + 1]
-            rid = int(ids_s[s])
-            nb = int(size[order[s]]) // bin_size + 2
-            acc = np.zeros(nb, np.int32)
-            b0 = lo[order[s:e]] // bin_size
-            b1 = hi[order[s:e]] // bin_size
-            np.add.at(acc, b0, 1)
-            np.add.at(acc, np.minimum(b1 + 1, nb - 1), -1)
-            depth = np.cumsum(acc)
-            max_cov[rid] = max(max_cov[rid], int(depth.max()))
-    return max_cov
+        a = starts[ids] + np.maximum(0, lo - overhang_limit)
+        b = starts[ids] + np.minimum(size, hi + overhang_limit)
+        np.add.at(diff, a, 1)
+        np.add.at(diff, b, -1)
+    prof = np.cumsum(diff[:-1])
+    touched = np.unique(np.concatenate([m4.qid, m4.sid]))
+    for rid in touched:
+        seg = prof[starts[rid]:starts[rid] + sizes[rid]]
+        if len(seg):
+            covs[rid, 0] = seg.min()
+            covs[rid, 1] = seg.max()
+    return covs
+
+
+def _coverage_params(covs: np.ndarray, opts: FilterOptions):
+    """Auto min/max/diff coverage (CoverageParam, overlap_filter.cpp:1267-1349):
+    discard-percentile from below of per-read MIN coverages, from above of MAX
+    coverages and of (max - min)."""
+    q = opts.coverage_discard
+    pmin = opts.min_coverage
+    pmax = opts.max_coverage
+    pdiff = opts.max_diff_coverage
+    if pmin < 0:
+        pmin = int(np.percentile(covs[:, 0], q, method="inverted_cdf"))
+    if pmax < 0:
+        pmax = int(np.percentile(covs[:, 1], 100 - q, method="inverted_cdf"))
+    if pdiff < 0:
+        pdiff = int(np.percentile(covs[:, 1] - covs[:, 0], 100 - q,
+                                  method="inverted_cdf"))
+    return pmin, pmax, pdiff
+
+
+def _support_mask(cl: M4Records, count: int) -> np.ndarray:
+    """HasSupport (overlap_filter.cpp:1459-1516), per-end-count form: a
+    dovetail overlap joining A's end ea to B's end eb is supported when A has
+    > count OTHER overlaps at ea and B > count at eb."""
+    if count <= 0:
+        return np.ones(len(cl), bool)
+    qoff_f, qend_f = cl.fwd_query_range()
+    q_side = np.where(qoff_f == 0, 0, 1)
+    s_side = np.where(cl.soff == 0, 0, 1)
+    n = int(max(cl.qid.max(), cl.sid.max())) + 1
+    cnt = np.zeros((n, 2), np.int64)
+    np.add.at(cnt, (cl.qid, q_side), 1)
+    np.add.at(cnt, (cl.sid, s_side), 1)
+    sup_a = cnt[cl.qid, q_side] - 1 >= count
+    sup_b = cnt[cl.sid, s_side] - 1 >= count
+    return sup_a & sup_b
 
 
 def _best_n_mask(cl: M4Records, bestn: int) -> np.ndarray:

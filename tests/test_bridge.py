@@ -76,3 +76,60 @@ def test_bridge_no_links_keeps_contigs():
     out = bridge_contigs(contigs, raw, m4=M4Records.empty())
     assert out.n_reads == 2
     assert sorted(out.lengths.tolist()) == [4000, 5000]
+
+
+def test_repeat_guard_avoids_chimeric_join():
+    """A repeat contig R with true adjacencies A-R-B and C-R-D: per-end greedy
+    support would chain A->R->D (a chimera) when A->R and R->D happen to have
+    the most support. The ambiguity guard (conservative CheckRepeat,
+    contig_graph.cpp:206-253) must leave R unjoined instead."""
+    rng = np.random.default_rng(77)
+    A = simulate.random_genome(6000, seed=70)
+    B = simulate.random_genome(6000, seed=71)
+    C = simulate.random_genome(6000, seed=72)
+    D = simulate.random_genome(6000, seed=73)
+    R = simulate.random_genome(3000, seed=74)
+    contigs = ReadStore.from_seqs([A, B, C, D, R], list("abcdr"))
+    em = simulate.ErrorModel(sub=0.01, ins=0.01, dele=0.01)
+    reads = []
+    # genome 1: ...A R B...  genome 2: ...C R D...
+    g1 = np.concatenate([A, R, B])
+    g2 = np.concatenate([C, R, D])
+    for _ in range(4):    # A->R strongly supported
+        reads.append(simulate.mutate(g1[2500:8500], em, rng))
+    for _ in range(2):    # R->B weakly
+        reads.append(simulate.mutate(g1[6500:12500], em, rng))
+    for _ in range(2):    # C->R weakly
+        reads.append(simulate.mutate(g2[2500:8500], em, rng))
+    for _ in range(4):    # R->D strongly
+        reads.append(simulate.mutate(g2[6500:12500], em, rng))
+    raw = ReadStore.from_seqs(reads)
+
+    def has_chimera(store):
+        # a chimeric contig contains A's suffix followed by D's prefix
+        for i in range(store.n_reads):
+            c = store.get(i)
+            for seq in (c, seqio.revcomp(c)):
+                sA = simulate.banded_edit_distance(A[-500:], seq[:0], band=1)
+                # search A-suffix immediately followed (within 4kb) by D-prefix
+                # via exact 40-mer anchors (reads are ~1% error; contigs exact)
+                a_tag = A[-40:].tobytes()
+                d_tag = D[:40].tobytes()
+                sb = seq.tobytes()
+                pa = sb.find(a_tag)
+                pd = sb.find(d_tag)
+                if pa >= 0 and pd >= 0 and 0 < pd - pa < 4000:
+                    return True
+        return False
+
+    # guard ON (default): no chimera
+    out = bridge_contigs(contigs, raw,
+                         opts=BridgeOptions(min_support=2, use_c2c=False))
+    assert not has_chimera(out), "ambiguity guard failed to prevent chimera"
+
+    # guard OFF: the greedy chain creates the A-R-D chimera (sanity that the
+    # scenario actually exercises the guard)
+    out2 = bridge_contigs(contigs, raw,
+                          opts=BridgeOptions(min_support=2, use_c2c=False,
+                                             ambiguity_ratio=2.0))
+    assert has_chimera(out2), "test scenario no longer produces the chimera"
