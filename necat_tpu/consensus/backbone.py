@@ -167,11 +167,15 @@ def compact_from_stream(
     min_size: int,
     raw_min_gap: int,
     overrides: dict | None = None,   # row -> {t -> np.ndarray of bases}
+    cut_at: dict | None = None,      # row -> template positions to cut runs at
+    min_size_override: int | None = None,
 ) -> List[Tuple[List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]]]:
     """Host side of consensus_stream: identical output to compact_consensus.
 
     `overrides` replaces the emitted bases of individual template positions
-    (the link-DP hotspot splice, consensus/correct.py _hot_region_overrides)."""
+    (the link-DP hotspot splice, consensus/correct.py _hot_region_overrides);
+    `cut_at` splits covered runs at the given positions so no piece spans
+    them (segment-halo seams, polish/polish.py)."""
     TB = stream.shape[0]
     out = []
     for b in range(TB):
@@ -186,8 +190,22 @@ def compact_from_stream(
         dif = np.diff(np.r_[0, cov.astype(np.int8), 0])
         starts = np.flatnonzero(dif == 1)
         ends = np.flatnonzero(dif == -1)
+        cuts = sorted((cut_at or {}).get(b) or [])
+        if cuts:
+            s2, e2 = [], []
+            for s, e in zip(starts, ends):
+                prev = int(s)
+                for c in cuts:
+                    if prev < c < e:
+                        s2.append(prev)
+                        e2.append(c)
+                        prev = c
+                s2.append(prev)
+                e2.append(int(e))
+            starts, ends = s2, e2
+        eff_min_size = min_size if min_size_override is None else min_size_override
         for s, e in zip(starts, ends):
-            if e - s < min_size:
+            if e - s < eff_min_size:
                 continue
             lo = int(cum_t[b, s - 1]) if s > 0 else 0
             hi = int(cum_t[b, e - 1])

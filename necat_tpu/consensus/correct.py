@@ -118,6 +118,7 @@ def correct_reads(
     emit_uncorrected: bool = True,
     verbose: bool = False,
     template_ids=None,
+    template_cuts: dict | None = None,
 ) -> List[CnsRecord]:
     """Correct all templates that have candidates. `cands` must already be
     role-expanded (each overlap present for both reads as templates).
@@ -158,7 +159,8 @@ def correct_reads(
     engine = ExtendEngine(dev, dev, opts.pairs_per_chunk) if dev else None
     for s in range(0, len(tids_sorted), SG):
         records.extend(_correct_supergroup(
-            store, dev, engine, cands, groups, tids_sorted[s:s + SG], opts))
+            store, dev, engine, cands, groups, tids_sorted[s:s + SG], opts,
+            template_cuts or {}))
     return records
 
 
@@ -192,7 +194,8 @@ class _Tpl:
 
 
 def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
-                        opts: CnsOptions) -> List[CnsRecord]:
+                        opts: CnsOptions,
+                        template_cuts: dict | None = None) -> List[CnsRecord]:
     TB = opts.templates_per_batch
     D = opts.max_delta
     n_sg = len(sg_ids)
@@ -391,10 +394,13 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                                    "emitted bases beyond SL are dropped")
                 overrides = _bucket_hot_overrides(store, b, tpls,
                                                   np.asarray(hot), tbatch_np)
+                cuts = {r_: template_cuts[int(b.ids[r_])]
+                        for r_ in range(b.n_real)
+                        if template_cuts and int(b.ids[r_]) in template_cuts}
                 pieces = compact_from_stream(
                     np.asarray(stream), np.asarray(cum_t), np.asarray(cov8),
                     b.tlens, tbatch_np, opts.min_cov, opts.min_size,
-                    opts.raw_min_gap, overrides=overrides)
+                    opts.raw_min_gap, overrides=overrides, cut_at=cuts)
             else:
                 pieces = compact_from_packed(np.asarray(dl[0]), b.tlens,
                                              tbatch_np, opts.min_size,

@@ -41,17 +41,26 @@ class PolishOptions:
     # miss multi-base chunks that every read shows as a long insertion run;
     # 22 covers runs up to 21 inserted bases (3 insb words x 7)
     max_delta: int = 22
+    # windows overlap by `halo` on each side so reads near a seam align with
+    # full context; only the core [halo, halo+segment) of each window is kept
+    # (the 10 kb-overlap chunking precedent, split_long_reads/main.c:12 — the
+    # reference's 1 Mb ctg segments are UNhaloed and dip at seams)
+    halo: int = 5000
 
 
-def split_contigs(contigs: ReadStore, seg_len: int) -> Tuple[ReadStore, List[Tuple[int, int]]]:
-    """Cut contigs into consecutive windows; returns (segments, [(ctg, start)])."""
+def split_contigs(contigs: ReadStore, seg_len: int, halo: int = 0
+                  ) -> Tuple[ReadStore, List[Tuple[int, int, int]]]:
+    """Cut contigs into windows of `seg_len` cores with `halo` extra context
+    on each side; returns (segments, [(ctg, core_start, win_start)])."""
     seqs, names, info = [], [], []
     for c in range(contigs.n_reads):
         seq = contigs.get(c)
         for s in range(0, len(seq), seg_len):
-            seqs.append(seq[s:s + seg_len])
+            w0 = max(0, s - halo)
+            w1 = min(len(seq), s + seg_len + halo)
+            seqs.append(seq[w0:w1])
             names.append(f"{contigs.names[c]}:{s}")
-            info.append((c, s))
+            info.append((c, s, w0))
     return ReadStore.from_seqs(seqs, names), info
 
 
@@ -68,7 +77,7 @@ def polish_contigs(
     if map_opts is None:
         map_opts = MapOptions(scan_window=5, ncan=20, block_score_cutoff=2,
                               max_hits=1 << 20, max_pairs=8192)
-    segments, info = split_contigs(contigs, opts.segment_size)
+    segments, info = split_contigs(contigs, opts.segment_size, opts.halo)
 
     # read -> segment candidates; combined store puts segments after reads
     cands = find_all_candidates(reads, segments, map_opts, pairwise=False,
@@ -91,10 +100,21 @@ def polish_contigs(
         templates_per_batch=opts.templates_per_batch,
         pairs_per_chunk=opts.pairs_per_chunk,
         band_width=opts.band_width)
+    # cut the consensus pieces exactly at each window's core boundaries so
+    # the halo-context parts can be discarded without mid-piece coordinate
+    # surgery (pieces never span a seam)
+    cuts = {}
+    for seg_idx, (ctg, start, w0) in enumerate(info):
+        core_lo = start - w0
+        core_hi = core_lo + opts.segment_size
+        cc = [c for c in (core_lo, core_hi) if 0 < c < int(segments.lengths[seg_idx])]
+        if cc:
+            cuts[seg_idx + offset] = cc
     recs = correct_reads(combined, cands, cns_opts, min_cov_for_template=1,
-                         emit_uncorrected=False)
+                         emit_uncorrected=False, template_cuts=cuts)
 
-    # stitch: per segment, replace covered spans with consensus, keep template gaps
+    # stitch: per segment CORE, replace covered spans with consensus, keep
+    # template gaps; halo regions belong to the neighbouring windows
     by_seg = {}
     for r in recs:
         if r.corrected:
@@ -103,18 +123,23 @@ def polish_contigs(
     for c in range(contigs.n_reads):
         polished_seqs.append([])
     for seg_idx in range(segments.n_reads):
-        ctg, start = info[seg_idx]
+        ctg, start, w0 = info[seg_idx]
         template = segments.get(seg_idx)
-        pieces = sorted(by_seg.get(seg_idx, []), key=lambda r: r.left)
+        core_lo = start - w0
+        core_hi = min(core_lo + opts.segment_size, len(template))
+        pieces = sorted((r for r in by_seg.get(seg_idx, [])
+                         if r.left >= core_lo and r.right <= core_hi),
+                        key=lambda r: r.left)
         out = []
-        pos = 0
+        pos = core_lo
         for p in pieces:
             if p.left > pos:
                 out.append(template[pos:p.left])
             out.append(p.seq)
             pos = max(pos, p.right)
-        if pos < len(template):
-            out.append(template[pos:])
-        polished_seqs[ctg].append(np.concatenate(out) if out else template)
+        if pos < core_hi:
+            out.append(template[pos:core_hi])
+        polished_seqs[ctg].append(
+            np.concatenate(out) if out else template[core_lo:core_hi])
     final = [np.concatenate(parts) for parts in polished_seqs]
     return ReadStore.from_seqs(final, [f"{n}_polished" for n in contigs.names])

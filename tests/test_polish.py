@@ -10,8 +10,19 @@ def test_split_contigs():
                              ["a", "b"])
     segs, info = split_contigs(rs, 10000)
     assert segs.n_reads == 4
-    assert info == [(0, 0), (0, 10000), (0, 20000), (1, 0)]
+    assert info == [(0, 0, 0), (0, 10000, 10000), (0, 20000, 20000), (1, 0, 0)]
     np.testing.assert_array_equal(segs.lengths, [10000, 10000, 5000, 9000])
+
+
+def test_split_contigs_halo():
+    rng = np.random.default_rng(0)
+    rs = ReadStore.from_seqs([rng.integers(0, 4, 25000).astype(np.uint8)],
+                             ["a"])
+    segs, info = split_contigs(rs, 10000, halo=2000)
+    assert info == [(0, 0, 0), (0, 10000, 8000), (0, 20000, 18000)]
+    np.testing.assert_array_equal(segs.lengths, [12000, 14000, 7000])
+    # window 1 covers [8000, 22000): core [10000, 20000) with 2k halo each side
+    np.testing.assert_array_equal(segs.get(1), rs.get(0)[8000:22000])
 
 
 def test_polish_improves_draft():
@@ -82,3 +93,27 @@ def test_polish_fixes_planted_long_insertion():
     ed_c = best_substring_ed(c[16600:17400], pattern)
     assert ed_d >= 15, f"test degenerate: draft already matches (ed {ed_d})"
     assert ed_c <= 4, f"insertion region not restored (ed {ed_c} vs draft {ed_d})"
+
+
+def test_polish_no_seam_identity_dip():
+    """Window seams must not show an identity dip: the halo gives boundary
+    reads full alignment context and pieces are cut exactly at core edges."""
+    rng = np.random.default_rng(23)
+    truth = simulate.random_genome(36000, seed=27)
+    draft = simulate.mutate(truth, simulate.ErrorModel(0.005, 0.004, 0.004), rng)
+    contigs = ReadStore.from_seqs([draft], ["ctg0"])
+    reads, *_ = simulate.simulate_reads(
+        truth, coverage=14, mean_len=8000, min_len=5000, max_len=11000,
+        em=simulate.ErrorModel(0.04, 0.04, 0.04), seed=29, circular=False)
+    raw = ReadStore.from_seqs(reads)
+    pol = polish_contigs(contigs, raw,
+                         opts=PolishOptions(segment_size=8192, min_ident=75.0,
+                                            templates_per_batch=2, halo=3000))
+    c = pol.get(0)
+    # windowed identity around each seam (8192, 16384, 24576) vs the interior
+    for seam in (8192, 16384, 24576):
+        win = c[max(0, seam - 1200):seam + 1200]
+        ref = truth[max(0, seam - 1700):seam + 1700]
+        d = simulate.banded_edit_distance(win, ref, band=600,
+                                          b_prefix_free=True, b_suffix_free=True)
+        assert d <= 24, f"seam {seam}: {d} edits in a 2.4 kb window"
