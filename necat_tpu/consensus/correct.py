@@ -154,13 +154,31 @@ def correct_reads(
     TB = opts.templates_per_batch
     SG = TB * opts.buckets_per_supergroup
     from necat_tpu.io.devstore import DeviceReadStore
-    with timed("cns.devstore_init"):
-        dev = DeviceReadStore(store) if len(tids_sorted) else None
-    engine = ExtendEngine(dev, dev, opts.pairs_per_chunk) if dev else None
+    small_memory = opts.small_memory or store.total_bases >= (1 << 31)
+    dev = engine = None
+    if not small_memory and len(tids_sorted):
+        with timed("cns.devstore_init"):
+            dev = DeviceReadStore(store)
+        engine = ExtendEngine(dev, dev, opts.pairs_per_chunk)
     for s in range(0, len(tids_sorted), SG):
+        sg_ids = tids_sorted[s:s + SG]
+        if small_memory:
+            # SMALL_MEMORY mode (oc2cns -s, consensus/read_id_pool.h:29-63):
+            # upload only the reads this supergroup touches; ids remapped
+            ids = set(int(t) for t in sg_ids)
+            for t in sg_ids:
+                ids.update(int(q) for q in cands.qid[groups[int(t)]])
+            ids = np.array(sorted(ids), dtype=np.int64)
+            sub = store.subset(ids)
+            with timed("cns.devstore_init"):
+                dev = DeviceReadStore(sub)
+            engine = ExtendEngine(dev, dev, opts.pairs_per_chunk)
+            id_map = ids
+        else:
+            id_map = None
         records.extend(_correct_supergroup(
-            store, dev, engine, cands, groups, tids_sorted[s:s + SG], opts,
-            template_cuts or {}))
+            store, dev, engine, cands, groups, sg_ids, opts,
+            template_cuts or {}, id_map=id_map))
     return records
 
 
@@ -195,7 +213,14 @@ class _Tpl:
 
 def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                         opts: CnsOptions,
-                        template_cuts: dict | None = None) -> List[CnsRecord]:
+                        template_cuts: dict | None = None,
+                        id_map: np.ndarray | None = None) -> List[CnsRecord]:
+    def local_ids(global_ids):
+        """Map global read ids to the supergroup devstore's id space
+        (identity unless SMALL_MEMORY built a per-supergroup store)."""
+        if id_map is None:
+            return np.asarray(global_ids)
+        return np.searchsorted(id_map, np.asarray(global_ids))
     TB = opts.templates_per_batch
     D = opts.max_delta
     n_sg = len(sg_ids)
@@ -252,7 +277,7 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
         p_ci = np.array(p_ci)
         npairs = len(p_ci)
         tsize = np.array([tpls[li].n for li in p_tpl], np.int64)
-        tg_base = dev.offsets[[tpls[li].tid for li in p_tpl]]
+        tg_base = dev.offsets[local_ids([tpls[li].tid for li in p_tpl])]
         gkey = np.array([tpls[li].bucket for li in p_tpl], np.int64)
 
         # ---------------- extension: one fused dispatch per chunk, zero
@@ -261,7 +286,7 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
         insb_words = min(max(insb_words, 1), 3)
         with timed("cns.extend_pairs_total"):
             chunks = engine.submit(
-                sel=np.arange(npairs), qids=cands.qid[p_ci],
+                sel=np.arange(npairs), qids=local_ids(cands.qid[p_ci]),
                 qdir=cands.qdir[p_ci].astype(np.int32),
                 qsize=cands.qsize[p_ci].astype(np.int64),
                 tg_base=tg_base, tsize=tsize,
@@ -278,7 +303,7 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                 bad = np.flatnonzero((lhang + rhang) > 200)
                 if len(bad):
                     rchunks = engine.submit(
-                        sel=bad, qids=cands.qid[p_ci[bad]],
+                        sel=bad, qids=local_ids(cands.qid[p_ci[bad]]),
                         qdir=cands.qdir[p_ci[bad]].astype(np.int32),
                         qsize=cands.qsize[p_ci[bad]].astype(np.int64),
                         tg_base=tg_base[bad], tsize=tsize[bad],

@@ -47,6 +47,10 @@ class CnsOptions:
     # stand-in for the DALIGNER cascade (oc2cns -r, cns_options.c:19 default 0)
     rescue_long_indels: bool = False
     rescue_band_scale: int = 4
+    # SMALL_MEMORY (oc2cns -s, read_id_pool.h:29-63): upload only the reads a
+    # template supergroup touches instead of the whole store. Auto-enabled
+    # when the read set exceeds the device store's 2^31-base limit.
+    small_memory: bool = False
 
     @classmethod
     def from_string(cls, s: str, base: "CnsOptions | None" = None) -> "CnsOptions":

@@ -171,7 +171,9 @@ class Project:
                     copts = CnsOptions.from_string(
                         cfg.get("CNS_FAST_OPTIONS", "") + " -r 1")
                 copts = dataclasses.replace(
-                    copts, full_consensus=(it + 1 != cfg.num_iter))
+                    copts, full_consensus=(it + 1 != cfg.num_iter),
+                    small_memory=cfg.get("SMALL_MEMORY", "0").strip()
+                    in ("1", "true"))
                 cands = find_all_candidates(cur, cur, mopts, pairwise=True)
                 call = Candidates.concat([cands, cands.swap_roles()])
                 stripe = (launcher.host_stripe(cur.n_reads, pid, nproc)

@@ -359,3 +359,35 @@ def test_mm_scatter_wide_delta_matches_oracle():
     np.testing.assert_array_equal(np.asarray(c_or), np.asarray(c_mm))
     np.testing.assert_allclose(np.asarray(w_or), np.asarray(w_mm),
                                rtol=0, atol=1e-5)
+
+
+def test_small_memory_mode_matches_default():
+    """SMALL_MEMORY (oc2cns -s): per-supergroup device stores must produce
+    byte-identical corrected output."""
+    G = 20000
+    genome = simulate.random_genome(G, seed=33)
+    reads, *_ = simulate.simulate_reads(
+        genome, coverage=7, mean_len=4500, min_len=3000, max_len=6000, seed=34)
+    rs = ReadStore.from_seqs(reads)
+    idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=4096)
+    sub_off = jnp.asarray(rs.offsets.astype(np.int32))
+    parts = []
+    for qdir in (0, 1):
+        batch, lens = rs.padded_batch(np.arange(rs.n_reads), rc=bool(qdir))
+        parts.append(find_candidates_batch(idx, sub_off, 0, batch, lens,
+                     np.arange(rs.n_reads, dtype=np.int32), qdir,
+                     rs.lengths.astype(np.int32), opts, pairwise=True))
+    c = top_n_per_query(Candidates.concat(parts), 500)
+    call = Candidates.concat([c, c.swap_roles()])
+    co = CnsOptions(templates_per_batch=4, pairs_per_chunk=32,
+                    buckets_per_supergroup=2)
+    recs_a = correct_reads(rs, call, co)
+    recs_b = correct_reads(rs, call, dataclasses_replace(co, small_memory=True))
+    assert len(recs_a) == len(recs_b)
+    for a, b in zip(recs_a, recs_b):
+        assert (a.tid, a.left, a.right, a.corrected) == (b.tid, b.left, b.right, b.corrected)
+        np.testing.assert_array_equal(a.seq, b.seq)
+
+
+from dataclasses import replace as dataclasses_replace  # noqa: E402
