@@ -86,6 +86,49 @@ def _branch_seq(arcs: List[Arc], store: ReadStore) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
 
+def trim_circular_overlap(seq: np.ndarray, k: int = 15, window: int = 50000,
+                          min_votes: int = 40) -> np.ndarray:
+    """Trim the terminal self-overlap of a circular contig.
+
+    A contig walking a circular genome re-traverses its start: the tail
+    duplicates the head. Detected by 15-mer anchor voting between the head and
+    tail windows (offset histogram, 100 b bins); the dominant wrap offset is
+    accepted when enough anchors agree, and the duplicated tail is cut.
+    (The reference's string graph reaches the same result through its
+    contained/duplicate path handling, fsa/path_graph.cpp.)"""
+    n = len(seq)
+    w = min(window, n // 3)
+    if w < 2000:
+        return seq
+    head = seq[:w]
+    tail = seq[n - w:]
+    hk = {}
+    hh = np.zeros(len(head) - k + 1, np.int64)
+    for j in range(k):
+        hh = (hh << 2) | head[j:j + len(hh)]
+    for i in range(0, len(hh), 3):
+        hk.setdefault(int(hh[i]), i)
+    th = np.zeros(len(tail) - k + 1, np.int64)
+    for j in range(k):
+        th = (th << 2) | tail[j:j + len(th)]
+    votes: dict = {}
+    for i in range(0, len(th), 3):
+        hpos = hk.get(int(th[i]))
+        if hpos is not None:
+            # wrap length = how much of the tail repeats the head:
+            # tail pos (n - w + i) aligns head pos hpos
+            wrap = n - (n - w + i) + hpos
+            votes.setdefault(wrap // 100, []).append(wrap)
+    if not votes:
+        return seq
+    best = max(votes, key=lambda b: len(votes[b]))
+    wraps = sorted(votes.get(best - 1, []) + votes[best] + votes.get(best + 1, []))
+    wrap = wraps[len(wraps) // 2]
+    if len(wraps) < min_votes or wrap <= 0 or wrap >= n // 2:
+        return seq
+    return seq[:n - wrap]
+
+
 def assemble(
     store: ReadStore,
     m4: M4Records,
@@ -167,6 +210,7 @@ def assemble(
     for seq, tiles, bubbles in built:
         if len(seq) < min_contig_length:
             continue
+        seq = trim_circular_overlap(seq)
         ci = len(seqs)
         names.append(f"ctg{ci}")
         seqs.append(seq)

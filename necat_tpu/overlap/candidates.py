@@ -166,17 +166,33 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
                                                  soff_limit, opts.max_hits)
     g = _group_pairs(qrow, qoffs[kcol], pos, valid, sub_offsets,
                      opts.max_pairs, opts.max_seeds_per_pair)
-    ch = chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"], opts.kmer_size,
-                     opts.chain_max_dist, opts.chain_bw)
+    chains = [chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"],
+                          opts.kmer_size, opts.chain_max_dist, opts.chain_bw)]
+    for _ in range(1, opts.n_chains_per_pair):
+        # secondary chains (word_finder emits one candidate per scoring
+        # block, word_finder.c:183-359 — split alignments / chimeric reads
+        # have two loci per pair): re-chain with the previous chain's
+        # subject span masked out
+        prev = chains[-1]
+        in_prev = ((g["seed_s"] >= prev["sbeg"][:, None])
+                   & (g["seed_s"] < prev["send"][:, None]))
+        g["seed_mask"] = g["seed_mask"] & ~in_prev
+        chains.append(chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"],
+                                  opts.kmer_size, opts.chain_max_dist,
+                                  opts.chain_bw))
+    cat = lambda k: jnp.concatenate([c[k] for c in chains])
+    pq = jnp.concatenate([g["pair_qrow"]] * len(chains))
+    psid = jnp.concatenate([g["pair_sid"]] * len(chains))
+    pv = jnp.concatenate([g["pair_valid"]] * len(chains))
     stats = jnp.stack([
-        g["pair_qrow"], g["pair_sid"], g["pair_valid"].astype(jnp.int32),
-        ch["n_seeds"], ch["score"], ch["qbeg"], ch["qend"], ch["sbeg"],
-        ch["send"]], axis=0)
+        pq, psid, pv.astype(jnp.int32),
+        cat("n_seeds"), cat("score"), cat("qbeg"), cat("qend"), cat("sbeg"),
+        cat("send")], axis=0)
     return {
-        "pair_qrow": g["pair_qrow"], "pair_sid": g["pair_sid"],
-        "pair_valid": g["pair_valid"], "n_seeds": ch["n_seeds"],
-        "score": ch["score"], "qbeg": ch["qbeg"], "qend": ch["qend"],
-        "sbeg": ch["sbeg"], "send": ch["send"],
+        "pair_qrow": pq, "pair_sid": psid,
+        "pair_valid": pv, "n_seeds": cat("n_seeds"),
+        "score": cat("score"), "qbeg": cat("qbeg"), "qend": cat("qend"),
+        "sbeg": cat("sbeg"), "send": cat("send"),
         "n_hits": jnp.reshape(total, (1,)), "stats": stats,
     }
 

@@ -47,6 +47,11 @@ class MapOptions:
     max_hits_ceiling: int = 1 << 23
     max_pairs: int = 8192           # (query, subject) pairs chained per pass
     max_seeds_per_pair: int = 64    # seeds fed to chain DP per pair (subsampled beyond)
+    # candidates emitted per (query, subject) pair: chains after the first
+    # re-run the DP with the previous chain's subject span masked — the role
+    # of the reference's one-candidate-per-scoring-block output
+    # (word_finder.c:183-359); split alignments need 2
+    n_chains_per_pair: int = 1
 
     @classmethod
     def from_string(cls, s: str, base: "MapOptions | None" = None) -> "MapOptions":
@@ -74,5 +79,7 @@ class MapOptions:
 
 
 CORRECTION_MAP_OPTIONS = MapOptions()
-ASSEMBLY_MAP_OPTIONS = MapOptions(ncan=100, scan_window=10)
+# trim/assembly overlaps keep both loci of split alignments: oc2lcr's
+# chimera detection needs to see each piece (largest_cover_range.c)
+ASSEMBLY_MAP_OPTIONS = MapOptions(ncan=100, scan_window=10, n_chains_per_pair=2)
 REFMAP_OPTIONS = MapOptions(scan_window=5, ncan=20, block_score_cutoff=2)

@@ -223,7 +223,8 @@ class Project:
         def fn():
             reads = ReadStore.from_fasta(cns)
             mopts = MapOptions.from_string(
-                self.cfg.get("TRIM_OVLP_OPTIONS", ""), MapOptions(ncan=100))
+                self.cfg.get("TRIM_OVLP_OPTIONS", ""),
+                MapOptions(ncan=100, n_chains_per_pair=2))
             m4 = overlap_all_vs_all(reads, mopts)
             trimmed, kept, ranges = trim_reads(reads, m4, TrimOptions())
             trimmed.to_fasta(out)
@@ -241,7 +242,8 @@ class Project:
         def fn():
             trimmed = ReadStore.from_fasta(trimmed_path)
             mopts = MapOptions.from_string(
-                self.cfg.get("ASM_OVLP_OPTIONS", ""), MapOptions(ncan=100))
+                self.cfg.get("ASM_OVLP_OPTIONS", ""),
+                MapOptions(ncan=100, n_chains_per_pair=2))
             m4 = overlap_all_vs_all(trimmed, mopts)
             os.makedirs(wd, exist_ok=True)
             m4.save(os.path.join(wd, "pm.m4.gz"))

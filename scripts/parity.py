@@ -43,8 +43,13 @@ def n50(lengths, total=None):
 
 
 def measure_store(store, genome_store, label, sample=80):
-    """Map `store` reads to the true genome; weighted mean identity + sizes."""
+    """Map `store` reads to the true genome; weighted mean identity + sizes.
+
+    Long sequences (contigs) are measured in 20 kb chunks: a contig wrapping
+    the circular genome or spanning rearrangements would otherwise produce
+    one split alignment whose identity misreads as low."""
     import numpy as np
+    from necat_tpu.io.readstore import ReadStore
     from necat_tpu.overlap.options import MapOptions
     from necat_tpu.overlap.overlapper import map_reads_to_reference
     lens = store.lengths.tolist()
@@ -53,6 +58,12 @@ def measure_store(store, genome_store, label, sample=80):
         "total_bases": int(store.total_bases),
         "n50": int(n50(lens)),
     }
+    if max(lens) > 30000:
+        chunks = []
+        for i in range(store.n_reads):
+            s = store.get(i)
+            chunks.extend(s[o:o + 20000] for o in range(0, len(s), 20000))
+        store = ReadStore.from_seqs([c for c in chunks if len(c) >= 2000])
     sub = store
     if store.n_reads > sample:
         ids = np.linspace(0, store.n_reads - 1, sample).astype(int)

@@ -147,3 +147,18 @@ def test_assemble_dump_snapshots(tmp_path):
     def actives(p):
         return sum(1 for line in open(p) if line.strip().endswith("active"))
     assert actives(d / "string_graph_0.txt") >= actives(d / "string_graph_3.txt")
+
+
+def test_trim_circular_overlap():
+    from necat_tpu.assembly.contigs import trim_circular_overlap
+    from necat_tpu.io import simulate
+    rng = np.random.default_rng(3)
+    G = simulate.random_genome(120000, seed=61)
+    # circular contig: genome + 17 kb wrap, with 1.5% errors
+    em = simulate.ErrorModel(0.006, 0.004, 0.004)
+    ctg = simulate.mutate(np.concatenate([G, G[:17000]]), em, rng)
+    out = trim_circular_overlap(ctg)
+    assert abs(len(out) - 120000) < 400, f"trimmed to {len(out)}"
+    # non-circular contig untouched
+    lin = simulate.mutate(G, em, rng)
+    assert len(trim_circular_overlap(lin)) == len(lin)

@@ -171,3 +171,32 @@ def test_volume_tiled_overlaps_match_single_volume():
     # tiled must find (nearly) the same overlap pairs
     assert len(pairs_t & pairs_s) >= 0.95 * len(pairs_s)
     assert np.all(m4_tiled.sid < m4_tiled.qid)
+
+
+def test_secondary_chains_find_split_alignment():
+    """A chimeric query (two pieces from distant subject loci) must yield TWO
+    candidates on the same subject when n_chains_per_pair=2 (the reference
+    emits one candidate per scoring block, word_finder.c:183-359)."""
+    from necat_tpu.io import simulate
+
+    genome = simulate.random_genome(30000, seed=41)
+    subject = genome
+    # chimeric query: [2000,7000) fused to [20000,25000)
+    q = np.concatenate([genome[2000:7000], genome[20000:25000]])
+    rs = ReadStore.from_seqs([subject])
+    qs = ReadStore.from_seqs([q])
+    idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
+    sub_off = jnp.asarray(rs.offsets.astype(np.int32))
+    for nchains, expect in ((1, 1), (2, 2)):
+        opts = MapOptions(kmer_size=13, max_hits=1 << 16, max_pairs=256,
+                          n_chains_per_pair=nchains, align_size_cutoff=1000)
+        batch, lens = qs.padded_batch(np.arange(1))
+        c = find_candidates_batch(idx, sub_off, 0, batch, lens,
+                                  np.array([0], np.int32), 0,
+                                  rs.lengths.astype(np.int32), opts,
+                                  pairwise=False)
+        assert len(c) == expect, f"nchains={nchains}: {len(c)} candidates"
+    # the two candidates cover the two loci
+    spans = sorted((int(c.sbeg[i]), int(c.send[i])) for i in range(len(c)))
+    assert spans[0][0] >= 1500 and spans[0][1] <= 8000
+    assert spans[1][0] >= 19000 and spans[1][1] <= 25500
