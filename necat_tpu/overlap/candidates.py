@@ -193,7 +193,8 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
         "pair_valid": pv, "n_seeds": cat("n_seeds"),
         "score": cat("score"), "qbeg": cat("qbeg"), "qend": cat("qend"),
         "sbeg": cat("sbeg"), "send": cat("send"),
-        "n_hits": jnp.reshape(total, (1,)), "stats": stats,
+        "n_hits": jnp.reshape(total, (1,)),
+        "n_pairs": jnp.reshape(g["n_pairs"], (1,)), "stats": stats,
     }
 
 
@@ -240,10 +241,14 @@ def find_candidates_batch(
             soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
 
     if hits_cap is None:
-        hits_cap = [opts.max_hits]
+        hits_cap = [opts.max_hits, opts.max_pairs]
+    elif len(hits_cap) == 1:
+        hits_cap.append(opts.max_pairs)
     while True:
-        cap = hits_cap[0]
-        o = opts if cap == opts.max_hits else dataclasses.replace(opts, max_hits=cap)
+        cap, pcap = hits_cap
+        o = opts
+        if cap != opts.max_hits or pcap != opts.max_pairs:
+            o = dataclasses.replace(opts, max_hits=cap, max_pairs=pcap)
         fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
                                    index.occ_cutoff, opts.scan_window, o,
                                    index.n_search_steps)
@@ -255,14 +260,23 @@ def find_candidates_batch(
         with timed("cand.stats_sync"):
             st = np.asarray(g["stats"])
         n_hits = int(np.asarray(g["n_hits"])[0])
-        if n_hits < cap or cap >= opts.max_hits_ceiling:
-            break
-        # saturated: escalate the hit buffer and redo the pass (the reference
-        # has no hit cap at all — silent loss is not acceptable)
-        hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+        n_pairs = int(np.asarray(g["n_pairs"])[0])
+        grow = False
+        # saturated buffers: escalate and redo the pass (the reference has no
+        # caps at all — silent loss is not acceptable)
         from necat_tpu.utils.logging import logger
-        logger.info("hit buffer full (%d >= %d): escalating to %d and "
-                    "re-dispatching", n_hits, cap, hits_cap[0])
+        if n_hits >= cap and cap < opts.max_hits_ceiling:
+            hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+            logger.info("hit buffer full (%d >= %d): escalating to %d",
+                        n_hits, cap, hits_cap[0])
+            grow = True
+        if n_pairs >= pcap and pcap < (1 << 17):
+            hits_cap[1] = min(pcap * 4, 1 << 17)
+            logger.info("pair buffer full (%d >= %d): escalating to %d",
+                        n_pairs, pcap, hits_cap[1])
+            grow = True
+        if not grow:
+            break
     if n_hits >= opts.max_hits_ceiling:
         from necat_tpu.utils.logging import logger
         logger.warning(

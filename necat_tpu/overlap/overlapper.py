@@ -70,7 +70,7 @@ def find_all_candidates(
         qdev = DeviceReadStore(qstore)
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
-    hits_cap = [opts.max_hits]
+    hits_cap = [opts.max_hits, opts.max_pairs]
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
     order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]

@@ -219,10 +219,14 @@ def find_candidates_sharded(
     else:
         lim = np.full((D, B), INT32MAX, np.int32)
     if hits_cap is None:
-        hits_cap = [opts.max_hits]
+        hits_cap = [opts.max_hits, opts.max_pairs]
+    elif len(hits_cap) == 1:
+        hits_cap.append(opts.max_pairs)
     while True:
-        cap = hits_cap[0]
-        o = opts if cap == opts.max_hits else _dc.replace(opts, max_hits=cap)
+        cap, pcap = hits_cap
+        o = opts
+        if cap != opts.max_hits or pcap != opts.max_pairs:
+            o = _dc.replace(opts, max_hits=cap, max_pairs=pcap)
         fn = sharded_candidates_fn(index.mesh, k=index.k, shift=index.shift,
                                    occ_cutoff=index.occ_cutoff,
                                    scan_window=opts.scan_window, opts=o,
@@ -232,10 +236,17 @@ def find_candidates_sharded(
                    jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim))
         with timed("cand.stats_sync"):
             st_all = np.asarray(g["stats"]).reshape(D, 9, -1)
-        n_hits = np.asarray(g["n_hits"])
-        if int(n_hits.max()) < cap or cap >= opts.max_hits_ceiling:
+        n_hits = int(np.asarray(g["n_hits"]).max())
+        n_pairs = int(np.asarray(g["n_pairs"]).max())
+        grow = False
+        if n_hits >= cap and cap < opts.max_hits_ceiling:
+            hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+            grow = True
+        if n_pairs >= pcap and pcap < (1 << 17):
+            hits_cap[1] = min(pcap * 4, 1 << 17)
+            grow = True
+        if not grow:
             break
-        hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
     parts = []
     lens = np.asarray(lens)
     qids = np.asarray(qids)
