@@ -95,7 +95,7 @@ class ExtendEngine:
         self.cap = pairs_per_chunk
         self.mesh = pmesh.auto_mesh() if mesh is None else mesh
 
-    def submit(
+    def plan(
         self,
         sel: np.ndarray,        # global pair ids (for the caller's bookkeeping)
         qids: np.ndarray,       # per-pair query read id (into qdev)
@@ -108,9 +108,14 @@ class ExtendEngine:
         W: int,
         groups: Optional[np.ndarray] = None,   # chunk-purity key per pair
         window_margin: int = 600,
-        insb_words: int = 1,
-    ) -> List[ExtChunk]:
-        """Dispatch all pairs; returns chunks (bucket- and tier-pure).
+        extra_cols: Optional[Dict[str, np.ndarray]] = None,
+    ) -> List[dict]:
+        """Window + tier + chunk the pair set WITHOUT dispatching.
+
+        Returns per-chunk dicts: desc int32[PB, 9+len(extra)], take (indices
+        into the input arrays), ws, L, n_real, group. Extra per-pair columns
+        (name -> int32 array) are appended to desc after the 9 DESC_COLS in
+        dict order; padding lanes get -1 in every extra column.
 
         Subject windows are computed around the anchor (bounded by 1.3x the
         query side + margin, oc_aligner.c:127-131) so padded target size
@@ -132,7 +137,8 @@ class ExtendEngine:
         # — fragmenting into pure-tier chunks cost more in padded LANES than
         # the merged tier costs in padded columns (measured 53% lane fill)
         order = np.lexsort((qsize, -tier, gkey))
-        chunks: List[ExtChunk] = []
+        planned: List[dict] = []
+        n_extra = len(extra_cols) if extra_cols else 0
         cs = 0
         n = len(order)
         while cs < n:
@@ -152,7 +158,7 @@ class ExtendEngine:
                 PB *= 2
             PB = min(PB, PBmax)
             with timed("ext.chunk_build"):
-                desc = np.zeros((PB, len(DESC_COLS)), np.int32)
+                desc = np.zeros((PB, len(DESC_COLS) + n_extra), np.int32)
                 qi = qids[take]
                 desc[:n_real, 0] = self.qdev.offsets[qi]
                 desc[:n_real, 1] = self.qdev.offsets[qi + 1] - self.qdev.offsets[qi]
@@ -163,21 +169,62 @@ class ExtendEngine:
                 desc[:n_real, 6] = wlen[take]
                 desc[:n_real, 7] = aq[take]
                 desc[:n_real, 8] = at_abs[take] - ws[take]
+                if extra_cols:
+                    desc[:, len(DESC_COLS):] = -1
+                    for ci, arr in enumerate(extra_cols.values()):
+                        desc[:n_real, len(DESC_COLS) + ci] = \
+                            np.asarray(arr)[take]
+            planned.append(dict(desc=desc, take=take, ws=ws[take].copy(),
+                                L=L, n_real=n_real, group=int(g), PB=PB))
+        return planned
+
+    def submit(
+        self,
+        sel: np.ndarray,
+        qids: np.ndarray,
+        qdir: np.ndarray,
+        qsize: np.ndarray,
+        tg_base: np.ndarray,
+        tsize: np.ndarray,
+        aq: np.ndarray,
+        at_abs: np.ndarray,
+        W: int,
+        groups: Optional[np.ndarray] = None,
+        window_margin: int = 600,
+        insb_words: int = 1,
+    ) -> List[ExtChunk]:
+        """Dispatch all pairs as fused gather+extend chunks (async)."""
+        sel = np.asarray(sel)
+        planned = self.plan(sel, qids, qdir, qsize, tg_base, tsize, aq, at_abs,
+                            W, groups=groups, window_margin=window_margin)
+        chunks: List[ExtChunk] = []
+        for p in planned:
+            desc, take, L, PB, n_real = (p["desc"], p["take"], p["L"], p["PB"],
+                                         p["n_real"])
             with timed("ext.dispatch"):
-                if self.mesh is not None and PB % self.mesh.size == 0:
-                    # pair rows data-parallel over the chip mesh
-                    from necat_tpu.parallel.mesh import sharded_gather_extend_fn
-                    fn = sharded_gather_extend_fn(self.mesh, W=W, L=L,
-                                                  insb_words=insb_words)
-                    out = fn(self.qdev.words, self.sdev.words, jnp.asarray(desc))
-                else:
-                    out = gather_extend(self.qdev.words, self.sdev.words,
-                                        jnp.asarray(desc), W=W, L=L,
-                                        insb_words=insb_words)
-                try:
-                    out["stats"].copy_to_host_async()
-                except Exception:
-                    pass
+                with timed("ext.desc_upload"):
+                    desc_j = jnp.asarray(desc)
+                with timed("ext.enqueue"):
+                    if self.mesh is not None and PB % self.mesh.size == 0:
+                        # pair rows data-parallel over the chip mesh
+                        from necat_tpu.parallel.mesh import sharded_gather_extend_fn
+                        fn = sharded_gather_extend_fn(self.mesh, W=W, L=L,
+                                                      insb_words=insb_words)
+                        out = fn(self.qdev.words, self.sdev.words, desc_j)
+                    else:
+                        out = gather_extend(self.qdev.words, self.sdev.words,
+                                            desc_j, W=W, L=L,
+                                            insb_words=insb_words)
+                with timed("ext.stats_copy_issue"):
+                    try:
+                        out["stats"].copy_to_host_async()
+                    except Exception:
+                        pass
+                import os as _os
+                if _os.environ.get("NECAT_TPU_SYNC_DISPATCH"):
+                    with timed("ext.device_exec"):
+                        jax.block_until_ready(out["left_cols"])
+                        jax.block_until_ready(out["stats"])
             from necat_tpu.utils import logging as _lg
             _lg._TIMERS["ext.lanes"] += PB
             _lg._TIMERS["ext.real_lanes"] += n_real
@@ -185,7 +232,7 @@ class ExtendEngine:
             chunks.append(ExtChunk(
                 out=out, sel=sel[take], n_real=n_real, L=L, W=W,
                 aq=desc[:, 7].copy(), at=desc[:, 8].copy(),
-                ws=ws[take].copy(), live=np.ones(PB, bool), group=int(g)))
+                ws=p["ws"], live=np.ones(PB, bool), group=p["group"]))
         return chunks
 
 def collect_stats(chunks: List[ExtChunk], stats: dict, base_ci: int = 0) -> None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -544,12 +545,14 @@ def _bucket_hot_overrides(store, b: _Bucket, tpls, hot: np.ndarray,
 
 def _scatter_chunk(b: _Bucket, ch, row, w, tsz, at_abs, use_mm: bool):
     """Scatter one chunk's accepted alignments into the bucket tensors."""
+    import os as _os
     o = ch.out
     row_j = jnp.asarray(row)
     w_j = jnp.asarray(w)
     tsz_j = jnp.asarray(tsz)
     at_j = jnp.asarray(at_abs)
     with timed("cns.scatter"):
+        _sync = _os.environ.get("NECAT_TPU_SYNC_DISPATCH")
         if use_mm:
             # canonicalize the per-column arrays to Lt OUTSIDE the fused
             # scatter (eager pad ops compile trivially) so the scatter
@@ -581,6 +584,9 @@ def _scatter_chunk(b: _Bucket, ch, row, w, tsz, at_abs, use_mm: bool):
             b.weights, b.covten = tags_mod.scatter_pass_cols(
                 b.weights, b.covten, o["left_cols"], o["left_lead"],
                 o["left_jc"], *args, reversed_part=True)
+        if _sync:
+            with timed("cns.scatter_exec"):
+                jax.block_until_ready(b.covten)
 
 
 def _emit_records(b: _Bucket, pieces, tbatch_np, opts: CnsOptions) -> List[CnsRecord]:

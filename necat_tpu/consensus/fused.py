@@ -1,0 +1,308 @@
+"""Single-dispatch correction chunks: gather -> extend -> accept -> scatter.
+
+The legacy flow runs TWO device programs per chunk (extend, then tag scatter)
+with the per-column alignment encodings crossing the program boundary as
+~100 MB device buffers, and decides acceptance on the HOST between them. On a
+tunnel-attached TPU every extra dispatch, cross-program buffer and host sync
+costs round trips that dwarf the compute, so this module fuses the whole
+per-chunk pipeline into ONE jit program:
+
+    gather pair rows (2-bit packed store) -> banded extension -> acceptance
+    (identity cutoff / mapping range / full-coverage exception, on device)
+    -> weighted tag scatter into the donated consensus tensors
+
+and returns only a [7, PB] stats array. The adaptive identity cutoff
+(error_estimate.c:32-64) is ALSO computed on device: a round-0 identity pass
+scatters per-template ident/good/span flags into a small buffer, and
+`cutoff_from_idents` reduces it to per-template cutoffs that stay on device —
+the host never syncs inside a wave.
+
+Acceptance semantics mirror consensus_one_read.c:215-392 +
+consensus_aux.c:93-122 exactly (see correct.py's legacy path, which remains
+the oracle: tests force both paths on CPU and require identical records).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from necat_tpu.align import banded
+from necat_tpu.align.engine import DESC_COLS
+from necat_tpu.utils.logging import timed
+
+# extra desc columns appended after the 9 DESC_COLS (engine.plan extra_cols)
+FUSED_EXTRA = ("row", "tsfull", "ws", "slot")
+_C = {k: i for i, k in enumerate(DESC_COLS + FUSED_EXTRA)}
+
+IDENT_SLOTS = 32        # round-0 ident buffer slots per template (>= n_ident+10)
+
+
+# ------------------------------------------------------------- predicates
+# Pure arithmetic - used with numpy arrays (legacy host path) and jnp traced
+# values (fused device path) alike.
+
+def is_good_overlap(ql, qr, qs, tl, tr, ts, margin=200):
+    """error_estimate.c:7-30 — overlap ends near sequence ends on paired sides."""
+    qlh, qrh, tlh, trh = ql, qs - qr, tl, ts - tr
+    m = margin
+    return ((qlh <= m) & (qrh <= m)) | ((tlh <= m) & (trh <= m)) | \
+           ((qrh <= m) & (tlh <= m)) | ((trh <= m) & (qlh <= m))
+
+
+def check_mapping_range(ql, qr, qs, tl, tr, ts, min_size, ratio):
+    """consensus_aux.c:115-122."""
+    return ((qr - ql) >= min_size) | ((tr - tl) >= min_size) | \
+           ((qr - ql) >= qs * ratio) | ((tr - tl) >= ts * ratio)
+
+
+def is_full_cov_ovlp(ql, qr, qs, tl, tr, ts, ovlp_size, tail):
+    """consensus_aux.c:93-112 — query or template nearly fully covered."""
+    r = ((ql <= tail) & (qs - qr <= tail)) | ((tl <= tail) & (ts - tr <= tail))
+    r |= (qs - qr <= tail) & (tl <= tail) & ((qr - ql) >= ovlp_size)
+    r |= (ts - tr <= tail) & (ql <= tail) & ((qr - ql) >= ovlp_size)
+    return r
+
+
+def calc_cns_weight_jnp(ident_perc):
+    """jnp twin of tags.calc_cns_weight (consensus_one_read.c:11-16)."""
+    e = (100.0 - ident_perc) / 100.0 / 2.0
+    w = (1.0 - e) * (1.0 - e) + e * e / 3.0
+    return jnp.where(100.0 - ident_perc <= 1e-6, 1.0, w).astype(jnp.float32)
+
+
+# ------------------------------------------------------------- fused programs
+
+def _gather_pair(words_q, words_t, c, L):
+    from necat_tpu.io.devstore import _gather_rows
+    PB = c["qg"].shape[0]
+    qb = _gather_rows(words_q, c["qg"], c["qglen"], c["qrc"].astype(bool), L)
+    tb = _gather_rows(words_t, c["tg"], c["tglen"], jnp.zeros((PB,), bool), L)
+    return qb, tb
+
+
+def _extend(words_q, words_t, desc, W, L, tail_match, insb_words):
+    c = {k: desc[:, i] for i, k in _C.items() if i < desc.shape[1]}
+    qb, tb = _gather_pair(words_q, words_t, c, L)
+    out = banded._extend_batch_jit(qb, c["qlen"], tb, c["tlen"], c["aq"],
+                                   c["at"], W=W, tail_match=tail_match,
+                                   insb_words=insb_words)
+    return c, out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "L", "tail_match", "insb_words", "min_align_size",
+                     "mapping_ratio", "allow_fullcov"),
+    donate_argnames=("weights", "coverage"))
+def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
+                   W: int, L: int, tail_match: int, insb_words: int,
+                   min_align_size: int, mapping_ratio: float,
+                   allow_fullcov: bool):
+    """One whole correction chunk in one dispatch.
+
+    desc: int32[PB, 13] (DESC_COLS + row/tsfull/ws/slot). cutoff: f32[TB+1]
+    per-template identity cutoffs (device-resident). Returns (weights,
+    coverage, stats) with stats int32[7, PB] =
+    qoff, qend, toff(window), tend(window), n_cols, n_match, accepted."""
+    from necat_tpu.consensus import tags as tags_mod
+    c, out = _extend(words_q, words_t, desc, W, L, tail_match, insb_words)
+    TBp1 = weights.shape[0]
+    TB = TBp1 - 1
+    ql, qr = out["qoff"], out["qend"]
+    tl = out["toff"] + c["ws"]
+    tr = out["tend"] + c["ws"]
+    qs = c["qlen"]
+    ts = c["tsfull"]
+    ident = out["ident"]
+    cut = cutoff[jnp.clip(c["row"], 0, TB)]
+    ok = out["n_cols"] >= min_align_size
+    ok &= check_mapping_range(ql, qr, qs, tl, tr, ts, min_align_size,
+                              mapping_ratio)
+    pass_ident = ident >= cut
+    if allow_fullcov:
+        pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, ts, 5000, 100)
+    ok &= pass_ident
+    ok &= (c["row"] >= 0) & (c["row"] < TB)
+
+    w = jnp.where(ok, calc_cns_weight_jnp(ident), 0.0)
+    row_eff = jnp.where(ok, c["row"], TB).astype(jnp.int32)
+    at_abs = (c["at"] + c["ws"]).astype(jnp.int32)
+
+    def insb_tuple(side):
+        words = [out[f"{side}_insb"]]
+        wn = 2
+        while f"{side}_insb{wn}" in out:
+            words.append(out[f"{side}_insb{wn}"])
+            wn += 1
+        return tuple(words)
+
+    weights, coverage = tags_mod.scatter_chunk_mm(
+        weights, coverage,
+        out["left_cols"], insb_tuple("left"), out["left_lead"],
+        out["left_leadb"], out["left_jc"],
+        out["right_cols"], insb_tuple("right"), out["right_lead"],
+        out["right_leadb"], out["right_jc"],
+        at_abs, row_eff, w, ts.astype(jnp.int32))
+    stats = jnp.concatenate([out["stats"], ok.astype(jnp.int32)[None, :]],
+                            axis=0)
+    return weights, coverage, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "L", "tail_match", "min_align_size",
+                     "good_end_margin"),
+    donate_argnames=("ibuf",))
+def ident_pass(words_q, words_t, desc, ibuf, *, W: int, L: int,
+               tail_match: int, min_align_size: int, good_end_margin: int):
+    """Round-0 identity estimation pass: extend and record per-template
+    (ident, good, span) triples into ibuf f32[TB+1, IDENT_SLOTS, 3] at
+    (row, slot). No host output at all."""
+    c, out = _extend(words_q, words_t, desc, W, L, tail_match, 1)
+    TBp1 = ibuf.shape[0]
+    S = ibuf.shape[1]
+    ql, qr = out["qoff"], out["qend"]
+    tl = out["toff"] + c["ws"]
+    tr = out["tend"] + c["ws"]
+    qs = c["qlen"]
+    ts = c["tsfull"]
+    ident = out["ident"].astype(jnp.float32)
+    ok_align = out["n_cols"] >= min_align_size
+    good = is_good_overlap(ql, qr, qs, tl, tr, ts, good_end_margin) & ok_align
+    span = (((qr - ql) >= 0.6 * qs) | ((tr - tl) >= 0.6 * ts)) & ok_align
+    valid = (c["row"] >= 0) & (c["row"] < TBp1 - 1) & (c["slot"] >= 0) \
+        & (c["slot"] < S)
+    row = jnp.where(valid, c["row"], TBp1 - 1)
+    slot = jnp.where(valid, c["slot"], S - 1)
+    lin = row * S + slot
+    flat = ibuf.reshape(-1, 3)
+    flat = flat.at[lin, 0].set(jnp.where(valid, ident, 0.0))
+    flat = flat.at[lin, 1].set(jnp.where(valid, good, False).astype(jnp.float32))
+    flat = flat.at[lin, 2].set(jnp.where(valid, span, False).astype(jnp.float32))
+    return flat.reshape(ibuf.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("n_ident",))
+def cutoff_from_idents(ibuf, *, n_ident: int):
+    """Device twin of estimate_ident_cutoff + the good/span selection of the
+    legacy round 0 (correct.py): per template take the first n_ident GOOD
+    overlaps' idents (falling back to the first n_ident SPANNING overlaps
+    when good ones are scarce), then mean - 5*stddev over the top 70 %
+    (top 100 % when n < 8), 0 when n < 5. Returns f32[TB+1]."""
+    ident = ibuf[:, :, 0]
+    good = ibuf[:, :, 1] > 0.5
+    span = ibuf[:, :, 2] > 0.5
+    csum_g = jnp.cumsum(good, axis=1)
+    csum_s = jnp.cumsum(span, axis=1)
+    sel_g = good & (csum_g <= n_ident)
+    sel_s = span & (csum_s <= n_ident)
+    n_good = csum_g[:, -1]
+    use_span = jnp.minimum(n_good, n_ident) < n_ident
+    sel = jnp.where(use_span[:, None], sel_s, sel_g)
+    vals = jnp.where(sel, ident, -jnp.inf)
+    vals = jnp.sort(vals, axis=1)[:, ::-1]          # desc
+    n = sel.sum(axis=1)
+    n_use = jnp.where(n >= 8, (n * 7) // 10, n)
+    S = vals.shape[1]
+    idx = jnp.arange(S)[None, :]
+    m = idx < n_use[:, None]
+    v = jnp.where(m, vals, 0.0)
+    nu = jnp.maximum(n_use, 1).astype(jnp.float32)
+    mean = v.sum(axis=1) / nu
+    var = (v * v).sum(axis=1) / nu - mean * mean
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return jnp.where(n >= 5, mean - 5.0 * std, 0.0).astype(jnp.float32)
+
+
+# ------------------------------------------------------------- host driver
+
+class FusedChunk:
+    """Stats handle of one fused dispatch (same collect interface role as
+    ExtChunk, but holds no alignment buffers)."""
+
+    __slots__ = ("stats_dev", "sel", "n_real", "ws", "group")
+
+    def __init__(self, stats_dev, sel, n_real, ws, group):
+        self.stats_dev = stats_dev
+        self.sel = sel
+        self.n_real = n_real
+        self.ws = ws
+        self.group = group
+
+
+def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
+                  at_abs, rows, groups, cutoffs: dict, tensors: dict,
+                  W: int, insb_words: int, min_align_size: int,
+                  mapping_ratio: float, allow_fullcov: bool,
+                  slots=None, ibufs: dict | None = None,
+                  tail_match: int = banded.TAIL_MATCH):
+    """Dispatch one wave of pairs as fused chunks.
+
+    cutoffs: group -> f32[TB+1] device cutoff vector.
+    tensors: group -> (weights, coverage); updated in place (donated through).
+    When ibufs is given (round 0), an ident_pass runs FIRST for every chunk
+    (donating ibufs[group]); the caller then reduces ibufs into cutoffs via
+    cutoff_from_idents before calling again without ibufs.
+    Returns list of FusedChunk."""
+    npairs = len(qids)
+    extra = dict(row=rows, tsfull=tsize_full, ws=np.zeros(npairs, np.int64),
+                 slot=(slots if slots is not None
+                       else np.zeros(npairs, np.int64)))
+    planned = engine.plan(np.arange(npairs), qids, qdir, qsize, tg_base,
+                          tsize_full, aq, at_abs, W, groups=groups,
+                          extra_cols=extra)
+    out_chunks = []
+    for p in planned:
+        desc = p["desc"]
+        # the ws column must reflect THIS chunk's window starts
+        desc[:p["n_real"], _C["ws"]] = p["ws"]
+        g = p["group"]
+        with timed("cns.fused_dispatch"):
+            desc_j = jnp.asarray(desc)
+            if ibufs is not None:
+                ibufs[g] = ident_pass(
+                    engine.qdev.words, engine.sdev.words, desc_j, ibufs[g],
+                    W=W, L=p["L"], tail_match=tail_match,
+                    min_align_size=min_align_size,
+                    good_end_margin=200)
+                continue
+            wts, cov = tensors[g]
+            wts, cov, stats = extend_scatter(
+                engine.qdev.words, engine.sdev.words, desc_j, cutoffs[g],
+                wts, cov, W=W, L=p["L"], tail_match=tail_match,
+                insb_words=insb_words, min_align_size=min_align_size,
+                mapping_ratio=mapping_ratio, allow_fullcov=allow_fullcov)
+            tensors[g] = (wts, cov)
+            try:
+                stats.copy_to_host_async()
+            except Exception:
+                pass
+        from necat_tpu.utils import logging as _lg
+        _lg._TIMERS["ext.lanes"] += p["PB"]
+        _lg._TIMERS["ext.real_lanes"] += p["n_real"]
+        _lg._TIMERS["ext.cell_Mlanes"] += p["PB"] * p["L"] / 1e6
+        out_chunks.append(FusedChunk(stats, p["take"], p["n_real"], p["ws"],
+                                     g))
+    return out_chunks
+
+
+def collect_fused(chunks, stats: dict) -> None:
+    """Merge fused-chunk stats into flat per-pair arrays (one sync per chunk;
+    toff/tend converted to absolute template coords)."""
+    for ch in chunks:
+        with timed("ext.stats_sync"):
+            st = np.asarray(ch.stats_dev)
+        r = slice(0, ch.n_real)
+        idx = ch.sel
+        stats["qoff"][idx] = st[0, r]
+        stats["qend"][idx] = st[1, r]
+        stats["toff"][idx] = st[2, r] + ch.ws
+        stats["tend"][idx] = st[3, r] + ch.ws
+        stats["n_cols"][idx] = st[4, r]
+        stats["ident"][idx] = np.where(
+            st[4, r] > 0, 100.0 * st[5, r] / np.maximum(st[4, r], 1), 0.0)
+        stats["ok"][idx] = st[6, r].astype(bool)
