@@ -111,6 +111,19 @@ def group_by_template(cands: Candidates, max_examined: int):
 
 # --------------------------------------------------------------------- driver
 
+def fused_mode(opts: CnsOptions) -> bool:
+    """The fused single-dispatch path (consensus/fused.py) is the default on
+    every backend; the legacy two-program flow survives as the oracle
+    (NECAT_TPU_FUSED=0 or CnsOptions(fused=False) selects it)."""
+    import os
+    v = os.environ.get("NECAT_TPU_FUSED")
+    if v is not None:
+        return v not in ("0", "false")
+    if opts.fused is not None:
+        return opts.fused
+    return True
+
+
 def correct_reads(
     store: ReadStore,
     cands: Candidates,
@@ -196,7 +209,7 @@ class _Bucket:
 
 
 class _Tpl:
-    __slots__ = ("tid", "bucket", "row", "n", "cand_idx", "cursor", "cov",
+    __slots__ = ("tid", "bucket", "row", "n", "cand_idx", "cov",
                  "cutoff", "accepted")
 
     def __init__(self, tid, bucket, row, n, cand_idx):
@@ -205,38 +218,112 @@ class _Tpl:
         self.row = row
         self.n = n
         self.cand_idx = cand_idx
-        self.cursor = 0
-        self.cov = np.zeros(n, np.int32)
+        self.cov = None      # view into _SelState.cov_buf
         self.cutoff = np.nan
         self.accepted = []   # (qid, qdir, qoff, qend, toff, tend, w) —
                              # retained in wide-delta mode for hotspot splicing
 
 
-def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
-                        opts: CnsOptions,
-                        template_cuts: dict | None = None,
-                        id_map: np.ndarray | None = None) -> List[CnsRecord]:
-    def local_ids(global_ids):
-        """Map global read ids to the supergroup devstore's id space
-        (identity unless SMALL_MEMORY built a per-supergroup store)."""
-        if id_map is None:
-            return np.asarray(global_ids)
-        return np.searchsorted(id_map, np.asarray(global_ids))
+class _SelState:
+    """Vectorized wave-selection state for one supergroup.
+
+    Replaces the per-template Python cursor loop (the reference's per-thread
+    wave loop, consensus_one_read.c:317-372) with flat candidate arrays and a
+    CONCATENATED coverage buffer: per-template coverage vectors are views into
+    `cov_buf`, so both the wave-selection coverage test and the acceptance
+    update are single numpy passes over the whole supergroup."""
+
+    def __init__(self, tpls):
+        self.n_tpl = len(tpls)
+        lens = np.array([len(t.cand_idx) for t in tpls], dtype=np.int64)
+        self.cand_len = lens
+        total_c = int(lens.sum())
+        self.cand_start = np.zeros(self.n_tpl, np.int64)
+        if self.n_tpl > 1:
+            np.cumsum(lens[:-1], out=self.cand_start[1:])
+        self.cand_li = np.repeat(np.arange(self.n_tpl, dtype=np.int64), lens)
+        self.cand_ci = (np.concatenate([np.asarray(t.cand_idx) for t in tpls])
+                        if self.n_tpl else np.zeros(0, np.int64)).astype(np.int64)
+        self.cand_pos = (np.arange(total_c, dtype=np.int64)
+                         - np.repeat(self.cand_start, lens))
+        self.cursor = np.zeros(self.n_tpl, np.int64)
+        tn = np.array([t.n for t in tpls], dtype=np.int64)
+        self.tpl_n = tn
+        self.tpl_off = np.zeros(self.n_tpl + 1, np.int64)
+        np.cumsum(tn, out=self.tpl_off[1:])
+        self.cov_buf = np.zeros(int(tn.sum()), np.int32)
+        for li, t in enumerate(tpls):
+            t.cov = self.cov_buf[self.tpl_off[li]:self.tpl_off[li] + t.n]
+        self.tpl_row = np.array([t.row for t in tpls], dtype=np.int64)
+        self.tpl_bucket = np.array([t.bucket for t in tpls], dtype=np.int64)
+        self.tpl_tid = np.array([t.tid for t in tpls], dtype=np.int64)
+
+
+def _select_wave(st: _SelState, cands, round_id: int, wave: int, max_cov: int):
+    """One wave of (template, candidate) pairs: per template, scan pending
+    candidates in score order, skip those whose span is already at max_cov
+    (rounds > 0), take up to `wave`; skipped and taken are both consumed.
+    Returns (p_tpl, p_ci, slots) with slots = per-template take rank (0-based,
+    the round-0 ident-buffer slot)."""
+    empty = (np.zeros(0, np.int64),) * 3
+    if st.n_tpl == 0 or len(st.cand_li) == 0:
+        return empty
+    pend = st.cand_pos >= st.cursor[st.cand_li]
+    if not pend.any():
+        return empty
+    if round_id > 0:
+        # prefix-sum of under-covered positions over the concatenated buffer:
+        # a candidate is skippable iff its span holds none
+        U = np.empty(len(st.cov_buf) + 1, np.int64)
+        U[0] = 0
+        np.cumsum(st.cov_buf < max_cov, out=U[1:])
+        off = st.tpl_off[st.cand_li]
+        n = st.tpl_n[st.cand_li]
+        sb = np.clip(cands.sbeg[st.cand_ci], 0, n)
+        se = np.clip(cands.send[st.cand_ci], 0, n)
+        under = U[off + se] - U[off + sb]
+        elig = pend & (under > 0)
+    else:
+        elig = pend
+    cs = np.cumsum(elig)
+    pre = np.concatenate([[0], cs])[st.cand_start]
+    rank = cs - np.repeat(pre, st.cand_len)          # 1-based among eligible
+    take = elig & (rank <= wave)
+    idx = np.flatnonzero(take)
+    tk_li = st.cand_li[idx]
+    cnt = np.bincount(tk_li, minlength=st.n_tpl)
+    last = np.full(st.n_tpl, -1, np.int64)
+    np.maximum.at(last, tk_li, st.cand_pos[idx])
+    act = np.zeros(st.n_tpl, bool)
+    act[st.cand_li[pend]] = True
+    newcur = np.where(cnt >= wave, last + 1, st.cand_len)
+    st.cursor = np.where(act, newcur, st.cursor)
+    return tk_li, st.cand_ci[idx], (rank[idx] - 1)
+
+
+def _apply_cov(st: _SelState, li_acc, tl_acc, tr_acc) -> None:
+    """cov[tl:tr] += 1 for every accepted pair, as one diff+cumsum pass."""
+    if len(li_acc) == 0:
+        return
+    d = np.zeros(len(st.cov_buf) + 1, np.int32)
+    off = st.tpl_off[li_acc]
+    n = st.tpl_n[li_acc]
+    np.add.at(d, off + np.clip(tl_acc, 0, n), 1)
+    np.add.at(d, off + np.clip(tr_acc, 0, n), -1)
+    st.cov_buf += np.cumsum(d[:len(st.cov_buf)], dtype=np.int32)
+
+
+def _insb_words(opts: CnsOptions) -> int:
+    return min(max(-(-max(opts.max_delta - 1, 1) // tags_mod.N_INSB), 1), 3)
+
+
+def _run_waves_legacy(dev, engine, cands, tpls, buckets, opts: CnsOptions,
+                      st: _SelState, local_ids) -> None:
+    """The two-program oracle flow: extend chunks, host-side acceptance,
+    separate scatter dispatches (round-2 production path, now the oracle the
+    fused path is equality-tested against)."""
     TB = opts.templates_per_batch
     D = opts.max_delta
-    n_sg = len(sg_ids)
-    buckets: List[_Bucket] = []
-    tpls: List[_Tpl] = []
-    with timed("cns.bucket_setup"):
-        for bi in range(0, n_sg, TB):
-            ids = sg_ids[bi:bi + TB]
-            b = _Bucket(store, ids, TB, D)
-            buckets.append(b)
-            for row in range(b.n_real):
-                tid = int(b.ids[row])
-                tpls.append(_Tpl(tid, len(buckets) - 1, row, int(b.tlens[row]),
-                                 groups[tid]))
-
     estimating = not opts.use_fixed_ident_cutoff
     if not estimating:
         for t in tpls:
@@ -244,47 +331,25 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
     round_id = 0 if estimating else 1   # (consensus_one_read.c:273-278)
     max_rounds = -(-opts.max_examined // opts.wave_size) + 1
     use_mm = tags_mod.use_mm_scatter()
+    insb_words = _insb_words(opts)
 
     while round_id <= max_rounds:
         wave = (opts.n_ident + 10) if round_id == 0 else opts.wave_size
-        # ---------------- wave selection (host, against the coverage mirror)
         with timed("cns.wave_build"):
-            p_tpl: List[int] = []    # local template index per pair
-            p_ci: List[int] = []     # candidate row per pair
-            for li, t in enumerate(tpls):
-                idxs = t.cand_idx
-                if t.cursor >= len(idxs):
-                    continue
-                if round_id > 0 and np.all(t.cov >= opts.max_cov):
-                    t.cursor = len(idxs)
-                    continue
-                taken = 0
-                while t.cursor < len(idxs) and taken < wave:
-                    ci = idxs[t.cursor]
-                    t.cursor += 1
-                    if round_id > 0:
-                        sb, se = int(cands.sbeg[ci]), int(cands.send[ci])
-                        if np.all(t.cov[sb:se] >= opts.max_cov):
-                            continue
-                    p_tpl.append(li)
-                    p_ci.append(ci)
-                    taken += 1
-        if not p_tpl:
+            p_tpl, p_ci, _ = _select_wave(st, cands, round_id, wave,
+                                          opts.max_cov)
+        if len(p_tpl) == 0:
             if round_id == 0:
                 round_id += 1
                 continue
             break
-        p_tpl = np.array(p_tpl)
-        p_ci = np.array(p_ci)
         npairs = len(p_ci)
-        tsize = np.array([tpls[li].n for li in p_tpl], np.int64)
-        tg_base = dev.offsets[local_ids([tpls[li].tid for li in p_tpl])]
-        gkey = np.array([tpls[li].bucket for li in p_tpl], np.int64)
+        tsize = st.tpl_n[p_tpl]
+        tg_base = dev.offsets[local_ids(st.tpl_tid[p_tpl])]
+        gkey = st.tpl_bucket[p_tpl]
 
         # ---------------- extension: one fused dispatch per chunk, zero
         # intermediate syncs; stats stream back asynchronously
-        insb_words = -(-max(opts.max_delta - 1, 1) // tags_mod.N_INSB)
-        insb_words = min(max(insb_words, 1), 3)
         with timed("cns.extend_pairs_total"):
             chunks = engine.submit(
                 sel=np.arange(npairs), qids=local_ids(cands.qid[p_ci]),
@@ -341,18 +406,20 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                                       opts.min_align_size, opts.mapping_ratio)
             pass_ident = ident >= cut
             if round_id > 0:
-                pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, tsize, 5000, 100)
+                pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, tsize,
+                                               5000, 100)
             ok &= pass_ident
             wide_mode = 3 * D > 30
-            w_acc = tags_mod.calc_cns_weight(ident) if wide_mode else None
-            for i in np.flatnonzero(ok):
-                t_ = tpls[p_tpl[i]]
-                t_.cov[tl[i]:tr[i]] += 1
-                if wide_mode:
+            acc = np.flatnonzero(ok)
+            _apply_cov(st, p_tpl[acc], tl[acc], tr[acc])
+            if wide_mode and len(acc):
+                w_acc = tags_mod.calc_cns_weight(ident[acc])
+                for j, i in enumerate(acc):
                     ci = p_ci[i]
-                    t_.accepted.append((int(cands.qid[ci]), int(cands.qdir[ci]),
-                                        int(ql[i]), int(qr[i]), int(tl[i]),
-                                        int(tr[i]), float(w_acc[i])))
+                    tpls[p_tpl[i]].accepted.append(
+                        (int(cands.qid[ci]), int(cands.qdir[ci]),
+                         int(ql[i]), int(qr[i]), int(tl[i]), int(tr[i]),
+                         float(w_acc[j])))
 
         # ---------------- scatter: one fused dispatch per chunk
         with timed("cns.scatter_round_total"):
@@ -362,8 +429,7 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                 PB = len(ch.live)
                 row = np.full(PB, TB, np.int32)
                 keep = ok[ch.sel] & ch.live[:ch.n_real]
-                row[:ch.n_real] = np.where(
-                    keep, [tpls[p_tpl[s]].row for s in ch.sel], TB)
+                row[:ch.n_real] = np.where(keep, st.tpl_row[p_tpl[ch.sel]], TB)
                 w = np.zeros(PB, np.float32)
                 w[:ch.n_real] = w_all[ch.sel]
                 tsz = np.zeros(PB, np.int32)
@@ -374,6 +440,179 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
                                use_mm)
                 ch.release()
         round_id += 1
+
+
+def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
+                     st: _SelState, local_ids) -> None:
+    """Fused single-dispatch flow (consensus/fused.py): per chunk ONE device
+    program does gather+extend+accept+scatter against device-resident
+    cutoffs; the only per-wave host sync is the stats read that feeds the
+    coverage mirror. Rescue runs by deferral (see fused.py docstring)."""
+    from necat_tpu.consensus import fused
+    TB = opts.templates_per_batch
+    D = opts.max_delta
+    estimating = not opts.use_fixed_ident_cutoff
+    cutoffs = {bi: jnp.full((TB + 1,),
+                            0.0 if estimating else 100.0 * (1.0 - opts.error),
+                            jnp.float32) for bi in range(len(buckets))}
+    tensors = {bi: (b.weights, b.covten) for bi, b in enumerate(buckets)}
+    for b in buckets:
+        b.weights = b.covten = None    # ownership in tensors (donated through)
+    insb_words = _insb_words(opts)
+    wide_mode = 3 * D > 30
+    rescue = opts.rescue_long_indels
+    round_id = 0 if estimating else 1
+    max_rounds = -(-opts.max_examined // opts.wave_size) + 1
+    W0 = opts.band_width
+    Wwide = opts.band_width * opts.rescue_band_scale
+
+    while round_id <= max_rounds:
+        wave = (opts.n_ident + 10) if round_id == 0 else opts.wave_size
+        with timed("cns.wave_build"):
+            p_tpl, p_ci, slots = _select_wave(st, cands, round_id, wave,
+                                              opts.max_cov)
+        if len(p_tpl) == 0:
+            if round_id == 0:
+                round_id += 1
+                continue
+            break
+        npairs = len(p_ci)
+        base = dict(qids=local_ids(cands.qid[p_ci]),
+                    qdir=cands.qdir[p_ci].astype(np.int32),
+                    qsize=cands.qsize[p_ci].astype(np.int64),
+                    tg_base=dev.offsets[local_ids(st.tpl_tid[p_tpl])],
+                    tsize_full=st.tpl_n[p_tpl],
+                    aq=cands.qbeg[p_ci].astype(np.int64),
+                    at_abs=cands.sbeg[p_ci].astype(np.int64),
+                    rows=st.tpl_row[p_tpl], groups=st.tpl_bucket[p_tpl],
+                    insb_words=insb_words,
+                    min_align_size=opts.min_align_size,
+                    mapping_ratio=opts.mapping_ratio,
+                    good_end_margin=opts.good_end_margin)
+
+        def sub(idx, base=base):
+            d = dict(base)
+            for k in ("qids", "qdir", "qsize", "tg_base", "tsize_full", "aq",
+                      "at_abs", "rows", "groups"):
+                d[k] = base[k][idx]
+            return d
+
+        allow_fc = round_id > 0
+        keep_wide = None
+        if round_id == 0:
+            # ident estimation (+ rescue splice into the ident buffer)
+            assert wave <= fused.IDENT_SLOTS, \
+                "n_ident+10 must fit IDENT_SLOTS (fused.py)"
+            ibufs = {bi: jnp.zeros((TB + 1, fused.IDENT_SLOTS, 3), jnp.float32)
+                     for bi in sorted({int(g) for g in base["groups"]})}
+            with timed("cns.extend_pairs_total"):
+                ich = fused.dispatch_wave(
+                    engine, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
+                    allow_fullcov=False, slots=slots, ibufs=ibufs)
+                if rescue:
+                    s0 = fused.new_fused_stats(npairs)
+                    fused.collect_fused(ich, s0)
+                    lhang = np.maximum(s0["qoff"] - cands.qbeg[p_ci], 0)
+                    rhang = np.maximum(cands.qend[p_ci] - s0["qend"], 0)
+                    bad = np.flatnonzero((lhang + rhang) > 200)
+                    keep_wide = np.zeros(npairs, bool)
+                    if len(bad):
+                        wch = fused.dispatch_wave(
+                            engine, **sub(bad), W=Wwide, cutoffs=cutoffs,
+                            tensors=tensors, allow_fullcov=False,
+                            slots=slots[bad], ibufs=ibufs,
+                            nc0=s0["n_cols"][bad], cols_guard=True)
+                        s1 = fused.new_fused_stats(npairs)
+                        fused.collect_fused(wch, s1, sel=bad)
+                        keep_wide[bad] = s1["n_cols"][bad] >= s0["n_cols"][bad]
+            for bi, ib in ibufs.items():
+                cutoffs[bi] = fused.cutoff_from_idents(ib,
+                                                       n_ident=opts.n_ident)
+
+        stats = fused.new_fused_stats(npairs)
+        with timed("cns.extend_pairs_total"):
+            if keep_wide is not None:
+                # round 0 + rescue: the per-lane band is already decided
+                nw = np.flatnonzero(~keep_wide)
+                wv = np.flatnonzero(keep_wide)
+                for idx, Wx in ((nw, W0), (wv, Wwide)):
+                    if len(idx):
+                        ch = fused.dispatch_wave(
+                            engine, **sub(idx), W=Wx, cutoffs=cutoffs,
+                            tensors=tensors, allow_fullcov=False)
+                        fused.collect_fused(ch, stats, sel=idx)
+            else:
+                ch = fused.dispatch_wave(
+                    engine, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
+                    allow_fullcov=allow_fc,
+                    qend_cand=cands.qend[p_ci].astype(np.int64),
+                    rescue_defer=rescue)
+                fused.collect_fused(ch, stats)
+                if rescue:
+                    di = np.flatnonzero(stats["deferred"])
+                    if len(di):
+                        wch = fused.dispatch_wave(
+                            engine, **sub(di), W=Wwide, cutoffs=cutoffs,
+                            tensors=tensors, allow_fullcov=allow_fc,
+                            nc0=stats["n_cols"][di], cols_guard=True)
+                        fused.collect_fused(wch, stats, sel=di)
+                        d2 = di[stats["deferred"][di]]
+                        if len(d2):
+                            fch = fused.dispatch_wave(
+                                engine, **sub(d2), W=W0, cutoffs=cutoffs,
+                                tensors=tensors, allow_fullcov=allow_fc)
+                            fused.collect_fused(fch, stats, sel=d2)
+
+        with timed("cns.accept"):
+            acc = np.flatnonzero(stats["ok"])
+            _apply_cov(st, p_tpl[acc], stats["toff"][acc], stats["tend"][acc])
+            if wide_mode and len(acc):
+                w_acc = tags_mod.calc_cns_weight(stats["ident"][acc])
+                for j, i in enumerate(acc):
+                    ci = p_ci[i]
+                    tpls[p_tpl[i]].accepted.append(
+                        (int(cands.qid[ci]), int(cands.qdir[ci]),
+                         int(stats["qoff"][i]), int(stats["qend"][i]),
+                         int(stats["toff"][i]), int(stats["tend"][i]),
+                         float(w_acc[j])))
+        round_id += 1
+
+    for bi, b in enumerate(buckets):
+        b.weights, b.covten = tensors[bi]
+
+
+def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
+                        opts: CnsOptions,
+                        template_cuts: dict | None = None,
+                        id_map: np.ndarray | None = None) -> List[CnsRecord]:
+    def local_ids(global_ids):
+        """Map global read ids to the supergroup devstore's id space
+        (identity unless SMALL_MEMORY built a per-supergroup store)."""
+        if id_map is None:
+            return np.asarray(global_ids)
+        return np.searchsorted(id_map, np.asarray(global_ids))
+    TB = opts.templates_per_batch
+    D = opts.max_delta
+    n_sg = len(sg_ids)
+    buckets: List[_Bucket] = []
+    tpls: List[_Tpl] = []
+    with timed("cns.bucket_setup"):
+        for bi in range(0, n_sg, TB):
+            ids = sg_ids[bi:bi + TB]
+            b = _Bucket(store, ids, TB, D)
+            buckets.append(b)
+            for row in range(b.n_real):
+                tid = int(b.ids[row])
+                tpls.append(_Tpl(tid, len(buckets) - 1, row, int(b.tlens[row]),
+                                 groups[tid]))
+
+    st = _SelState(tpls)
+    if fused_mode(opts):
+        _run_waves_fused(dev, engine, cands, tpls, buckets, opts, st,
+                         local_ids)
+    else:
+        _run_waves_legacy(dev, engine, cands, tpls, buckets, opts, st,
+                          local_ids)
 
     # ---------------- consensus call + bit-packed download + host compaction
     # 3-bit fields per delta fit int32 only up to D=10; the wide-delta path

@@ -11,15 +11,23 @@ per-chunk pipeline into ONE jit program:
     (identity cutoff / mapping range / full-coverage exception, on device)
     -> weighted tag scatter into the donated consensus tensors
 
-and returns only a [7, PB] stats array. The adaptive identity cutoff
+and returns only an [8, PB] stats array. The adaptive identity cutoff
 (error_estimate.c:32-64) is ALSO computed on device: a round-0 identity pass
 scatters per-template ident/good/span flags into a small buffer, and
 `cutoff_from_idents` reduces it to per-template cutoffs that stay on device —
 the host never syncs inside a wave.
 
+Long-indel rescue (cns_extension cascade, consensus_aux.c:152-213) works by
+DEFERRAL: when `rescue_defer` is set, lanes whose extension leaves > 200 bp of
+candidate hang scatter nothing and raise the `deferred` stats flag; the host
+re-dispatches them at a wider band with `cols_guard` (scatter only if the wide
+result aligns >= the original column count), and finally replays still-losing
+lanes at the original band. The sequence reproduces the legacy splice_rescue
+outcome exactly (extension is deterministic).
+
 Acceptance semantics mirror consensus_one_read.c:215-392 +
-consensus_aux.c:93-122 exactly (see correct.py's legacy path, which remains
-the oracle: tests force both paths on CPU and require identical records).
+consensus_aux.c:93-122 exactly; correct.py's legacy two-program path remains
+the oracle (tests force both paths on CPU and require identical records).
 """
 
 from __future__ import annotations
@@ -35,7 +43,13 @@ from necat_tpu.align.engine import DESC_COLS
 from necat_tpu.utils.logging import timed
 
 # extra desc columns appended after the 9 DESC_COLS (engine.plan extra_cols)
-FUSED_EXTRA = ("row", "tsfull", "ws", "slot")
+#   row   — template row within its bucket (TB = dead lane)
+#   tsfull— full template length (window coords otherwise)
+#   ws    — window start on the template (absolute)
+#   slot  — round-0 ident-buffer slot (sequential per template)
+#   qe    — candidate query end (rescue hang check, consensus_aux.c:152-157)
+#   nc0   — prior n_cols guard (rescue wide pass keeps only >= results)
+FUSED_EXTRA = ("row", "tsfull", "ws", "slot", "qe", "nc0")
 _C = {k: i for i, k in enumerate(DESC_COLS + FUSED_EXTRA)}
 
 IDENT_SLOTS = 32        # round-0 ident buffer slots per template (>= n_ident+10)
@@ -85,7 +99,7 @@ def _gather_pair(words_q, words_t, c, L):
 
 
 def _extend(words_q, words_t, desc, W, L, tail_match, insb_words):
-    c = {k: desc[:, i] for i, k in _C.items() if i < desc.shape[1]}
+    c = {k: desc[:, i] for k, i in _C.items() if i < desc.shape[1]}
     qb, tb = _gather_pair(words_q, words_t, c, L)
     out = banded._extend_batch_jit(qb, c["qlen"], tb, c["tlen"], c["aq"],
                                    c["at"], W=W, tail_match=tail_match,
@@ -96,18 +110,21 @@ def _extend(words_q, words_t, desc, W, L, tail_match, insb_words):
 @functools.partial(
     jax.jit,
     static_argnames=("W", "L", "tail_match", "insb_words", "min_align_size",
-                     "mapping_ratio", "allow_fullcov"),
+                     "mapping_ratio", "allow_fullcov", "rescue_defer",
+                     "cols_guard"),
     donate_argnames=("weights", "coverage"))
 def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
                    W: int, L: int, tail_match: int, insb_words: int,
                    min_align_size: int, mapping_ratio: float,
-                   allow_fullcov: bool):
+                   allow_fullcov: bool, rescue_defer: bool = False,
+                   cols_guard: bool = False):
     """One whole correction chunk in one dispatch.
 
-    desc: int32[PB, 13] (DESC_COLS + row/tsfull/ws/slot). cutoff: f32[TB+1]
+    desc: int32[PB, 15] (DESC_COLS + FUSED_EXTRA). cutoff: f32[TB+1]
     per-template identity cutoffs (device-resident). Returns (weights,
-    coverage, stats) with stats int32[7, PB] =
-    qoff, qend, toff(window), tend(window), n_cols, n_match, accepted."""
+    coverage, stats) with stats int32[8, PB] =
+    qoff, qend, toff(window), tend(window), n_cols, n_match, accepted,
+    deferred. Deferred lanes scatter nothing (see module docstring)."""
     from necat_tpu.consensus import tags as tags_mod
     c, out = _extend(words_q, words_t, desc, W, L, tail_match, insb_words)
     TBp1 = weights.shape[0]
@@ -128,6 +145,14 @@ def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
     ok &= pass_ident
     ok &= (c["row"] >= 0) & (c["row"] < TB)
 
+    deferred = jnp.zeros(ok.shape, bool)
+    if rescue_defer:
+        hang = jnp.maximum(ql - c["aq"], 0) + jnp.maximum(c["qe"] - qr, 0)
+        deferred |= (hang > 200) & (c["row"] >= 0)
+    if cols_guard:
+        deferred |= (out["n_cols"] < c["nc0"]) & (c["row"] >= 0)
+    ok &= ~deferred
+
     w = jnp.where(ok, calc_cns_weight_jnp(ident), 0.0)
     row_eff = jnp.where(ok, c["row"], TB).astype(jnp.int32)
     at_abs = (c["at"] + c["ws"]).astype(jnp.int32)
@@ -147,21 +172,25 @@ def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
         out["right_cols"], insb_tuple("right"), out["right_lead"],
         out["right_leadb"], out["right_jc"],
         at_abs, row_eff, w, ts.astype(jnp.int32))
-    stats = jnp.concatenate([out["stats"], ok.astype(jnp.int32)[None, :]],
-                            axis=0)
+    stats = jnp.concatenate([out["stats"], ok.astype(jnp.int32)[None, :],
+                             deferred.astype(jnp.int32)[None, :]], axis=0)
     return weights, coverage, stats
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "L", "tail_match", "min_align_size",
-                     "good_end_margin"),
+                     "good_end_margin", "cols_guard"),
     donate_argnames=("ibuf",))
 def ident_pass(words_q, words_t, desc, ibuf, *, W: int, L: int,
-               tail_match: int, min_align_size: int, good_end_margin: int):
+               tail_match: int, min_align_size: int, good_end_margin: int,
+               cols_guard: bool = False):
     """Round-0 identity estimation pass: extend and record per-template
     (ident, good, span) triples into ibuf f32[TB+1, IDENT_SLOTS, 3] at
-    (row, slot). No host output at all."""
+    (row, slot). Returns (ibuf, stats int32[6, PB]) — the stats feed the
+    rescue hang check; no other host output. With cols_guard, a lane only
+    overwrites its slot when it aligned >= nc0 columns (rescue wide re-pass
+    keeps the original entry for losing lanes)."""
     c, out = _extend(words_q, words_t, desc, W, L, tail_match, 1)
     TBp1 = ibuf.shape[0]
     S = ibuf.shape[1]
@@ -176,6 +205,8 @@ def ident_pass(words_q, words_t, desc, ibuf, *, W: int, L: int,
     span = (((qr - ql) >= 0.6 * qs) | ((tr - tl) >= 0.6 * ts)) & ok_align
     valid = (c["row"] >= 0) & (c["row"] < TBp1 - 1) & (c["slot"] >= 0) \
         & (c["slot"] < S)
+    if cols_guard:
+        valid &= out["n_cols"] >= c["nc0"]
     row = jnp.where(valid, c["row"], TBp1 - 1)
     slot = jnp.where(valid, c["slot"], S - 1)
     lin = row * S + slot
@@ -183,7 +214,7 @@ def ident_pass(words_q, words_t, desc, ibuf, *, W: int, L: int,
     flat = flat.at[lin, 0].set(jnp.where(valid, ident, 0.0))
     flat = flat.at[lin, 1].set(jnp.where(valid, good, False).astype(jnp.float32))
     flat = flat.at[lin, 2].set(jnp.where(valid, span, False).astype(jnp.float32))
-    return flat.reshape(ibuf.shape)
+    return flat.reshape(ibuf.shape), out["stats"]
 
 
 @functools.partial(jax.jit, static_argnames=("n_ident",))
@@ -213,12 +244,81 @@ def cutoff_from_idents(ibuf, *, n_ident: int):
     v = jnp.where(m, vals, 0.0)
     nu = jnp.maximum(n_use, 1).astype(jnp.float32)
     mean = v.sum(axis=1) / nu
-    var = (v * v).sum(axis=1) / nu - mean * mean
+    # two-pass (shifted) variance: E[x^2]-mean^2 near ident~100 loses ~7
+    # decimal digits to cancellation in f32 and can flip borderline accepts
+    dv = jnp.where(m, vals - mean[:, None], 0.0)
+    var = (dv * dv).sum(axis=1) / nu
     std = jnp.sqrt(jnp.maximum(var, 0.0))
     return jnp.where(n >= 5, mean - 5.0 * std, 0.0).astype(jnp.float32)
 
 
 # ------------------------------------------------------------- host driver
+
+def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
+                  at_abs, rows, groups, cutoffs: dict, tensors: dict,
+                  W: int, insb_words: int, min_align_size: int,
+                  mapping_ratio: float, allow_fullcov: bool,
+                  slots=None, ibufs: dict | None = None,
+                  qend_cand=None, nc0=None,
+                  rescue_defer: bool = False, cols_guard: bool = False,
+                  good_end_margin: int = 200,
+                  tail_match: int = banded.TAIL_MATCH):
+    """Dispatch one wave of pairs as fused chunks.
+
+    cutoffs: group -> f32[TB+1] device cutoff vector.
+    tensors: group -> (weights, coverage); updated in place (donated through).
+    When ibufs is given (round 0), ONLY the ident_pass runs for every chunk
+    (donating ibufs[group]); `slots` (sequential per-template ident slots) is
+    then REQUIRED — an all-zeros default would collapse every pair onto slot
+    0 and silently disable cutoff estimation. The caller reduces ibufs into
+    cutoffs via cutoff_from_idents, then calls again without ibufs.
+    Returns list of FusedChunk (empty for an ident pass)."""
+    npairs = len(qids)
+    if ibufs is not None and slots is None:
+        raise ValueError("dispatch_wave(ibufs=...) requires per-pair slots")
+    zeros = np.zeros(npairs, np.int64)
+    extra = dict(row=rows, tsfull=tsize_full, ws=zeros,
+                 slot=(slots if slots is not None else zeros),
+                 qe=(qend_cand if qend_cand is not None else zeros),
+                 nc0=(nc0 if nc0 is not None else zeros))
+    planned = engine.plan(np.arange(npairs), qids, qdir, qsize, tg_base,
+                          tsize_full, aq, at_abs, W, groups=groups,
+                          extra_cols=extra)
+    out_chunks = []
+    for p in planned:
+        desc = p["desc"]
+        # the ws column must reflect THIS chunk's window starts
+        desc[:p["n_real"], _C["ws"]] = p["ws"]
+        g = p["group"]
+        with timed("cns.fused_dispatch"):
+            desc_j = jnp.asarray(desc)
+            if ibufs is not None:
+                ibufs[g], stats = ident_pass(
+                    engine.qdev.words, engine.sdev.words, desc_j, ibufs[g],
+                    W=W, L=p["L"], tail_match=tail_match,
+                    min_align_size=min_align_size,
+                    good_end_margin=good_end_margin, cols_guard=cols_guard)
+            else:
+                wts, cov = tensors[g]
+                wts, cov, stats = extend_scatter(
+                    engine.qdev.words, engine.sdev.words, desc_j, cutoffs[g],
+                    wts, cov, W=W, L=p["L"], tail_match=tail_match,
+                    insb_words=insb_words, min_align_size=min_align_size,
+                    mapping_ratio=mapping_ratio, allow_fullcov=allow_fullcov,
+                    rescue_defer=rescue_defer, cols_guard=cols_guard)
+                tensors[g] = (wts, cov)
+            try:
+                stats.copy_to_host_async()
+            except Exception:
+                pass
+        from necat_tpu.utils import logging as _lg
+        _lg._TIMERS["ext.lanes"] += p["PB"]
+        _lg._TIMERS["ext.real_lanes"] += p["n_real"]
+        _lg._TIMERS["ext.cell_Mlanes"] += p["PB"] * p["L"] / 1e6
+        out_chunks.append(FusedChunk(stats, p["take"], p["n_real"], p["ws"],
+                                     g))
+    return out_chunks
+
 
 class FusedChunk:
     """Stats handle of one fused dispatch (same collect interface role as
@@ -234,70 +334,24 @@ class FusedChunk:
         self.group = group
 
 
-def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
-                  at_abs, rows, groups, cutoffs: dict, tensors: dict,
-                  W: int, insb_words: int, min_align_size: int,
-                  mapping_ratio: float, allow_fullcov: bool,
-                  slots=None, ibufs: dict | None = None,
-                  tail_match: int = banded.TAIL_MATCH):
-    """Dispatch one wave of pairs as fused chunks.
-
-    cutoffs: group -> f32[TB+1] device cutoff vector.
-    tensors: group -> (weights, coverage); updated in place (donated through).
-    When ibufs is given (round 0), an ident_pass runs FIRST for every chunk
-    (donating ibufs[group]); the caller then reduces ibufs into cutoffs via
-    cutoff_from_idents before calling again without ibufs.
-    Returns list of FusedChunk."""
-    npairs = len(qids)
-    extra = dict(row=rows, tsfull=tsize_full, ws=np.zeros(npairs, np.int64),
-                 slot=(slots if slots is not None
-                       else np.zeros(npairs, np.int64)))
-    planned = engine.plan(np.arange(npairs), qids, qdir, qsize, tg_base,
-                          tsize_full, aq, at_abs, W, groups=groups,
-                          extra_cols=extra)
-    out_chunks = []
-    for p in planned:
-        desc = p["desc"]
-        # the ws column must reflect THIS chunk's window starts
-        desc[:p["n_real"], _C["ws"]] = p["ws"]
-        g = p["group"]
-        with timed("cns.fused_dispatch"):
-            desc_j = jnp.asarray(desc)
-            if ibufs is not None:
-                ibufs[g] = ident_pass(
-                    engine.qdev.words, engine.sdev.words, desc_j, ibufs[g],
-                    W=W, L=p["L"], tail_match=tail_match,
-                    min_align_size=min_align_size,
-                    good_end_margin=200)
-                continue
-            wts, cov = tensors[g]
-            wts, cov, stats = extend_scatter(
-                engine.qdev.words, engine.sdev.words, desc_j, cutoffs[g],
-                wts, cov, W=W, L=p["L"], tail_match=tail_match,
-                insb_words=insb_words, min_align_size=min_align_size,
-                mapping_ratio=mapping_ratio, allow_fullcov=allow_fullcov)
-            tensors[g] = (wts, cov)
-            try:
-                stats.copy_to_host_async()
-            except Exception:
-                pass
-        from necat_tpu.utils import logging as _lg
-        _lg._TIMERS["ext.lanes"] += p["PB"]
-        _lg._TIMERS["ext.real_lanes"] += p["n_real"]
-        _lg._TIMERS["ext.cell_Mlanes"] += p["PB"] * p["L"] / 1e6
-        out_chunks.append(FusedChunk(stats, p["take"], p["n_real"], p["ws"],
-                                     g))
-    return out_chunks
+def new_fused_stats(n_pairs: int) -> dict:
+    out = {k: np.zeros(n_pairs, np.int64)
+           for k in ("qoff", "qend", "toff", "tend", "n_cols")}
+    out["ident"] = np.zeros(n_pairs, np.float64)
+    out["ok"] = np.zeros(n_pairs, bool)
+    out["deferred"] = np.zeros(n_pairs, bool)
+    return out
 
 
-def collect_fused(chunks, stats: dict) -> None:
+def collect_fused(chunks, stats: dict, sel=None) -> None:
     """Merge fused-chunk stats into flat per-pair arrays (one sync per chunk;
-    toff/tend converted to absolute template coords)."""
+    toff/tend converted to absolute template coords). `sel` remaps chunk
+    pair ids into the caller's id space (rescue re-dispatch subsets)."""
     for ch in chunks:
         with timed("ext.stats_sync"):
             st = np.asarray(ch.stats_dev)
         r = slice(0, ch.n_real)
-        idx = ch.sel
+        idx = ch.sel if sel is None else np.asarray(sel)[ch.sel]
         stats["qoff"][idx] = st[0, r]
         stats["qend"][idx] = st[1, r]
         stats["toff"][idx] = st[2, r] + ch.ws
@@ -305,4 +359,6 @@ def collect_fused(chunks, stats: dict) -> None:
         stats["n_cols"][idx] = st[4, r]
         stats["ident"][idx] = np.where(
             st[4, r] > 0, 100.0 * st[5, r] / np.maximum(st[4, r], 1), 0.0)
-        stats["ok"][idx] = st[6, r].astype(bool)
+        if st.shape[0] > 6:          # ident-pass chunks carry only 6 rows
+            stats["ok"][idx] = st[6, r].astype(bool)
+            stats["deferred"][idx] = st[7, r].astype(bool)

@@ -51,6 +51,9 @@ class CnsOptions:
     # template supergroup touches instead of the whole store. Auto-enabled
     # when the read set exceeds the device store's 2^31-base limit.
     small_memory: bool = False
+    # fused single-dispatch correction (consensus/fused.py): None = default
+    # on (every backend); False selects the legacy two-program oracle flow.
+    fused: bool | None = None
 
     @classmethod
     def from_string(cls, s: str, base: "CnsOptions | None" = None) -> "CnsOptions":

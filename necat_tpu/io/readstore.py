@@ -94,10 +94,18 @@ class ReadStore:
         seqio.write_fasta(path, self.names, list(self))
 
     def subset(self, idx: np.ndarray) -> "ReadStore":
-        idx = np.asarray(idx)
-        seqs = [self.get(int(i)) for i in idx]
+        """Gather a sub-store in one vectorized pass (no per-read Python loop:
+        SMALL_MEMORY correction calls this per supergroup at genome scale)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        lens = self.lengths[idx]
+        offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        src = (np.repeat(self.offsets[idx], lens)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(offsets[:-1], lens))
         names = [self.names[int(i)] for i in idx]
-        return ReadStore.from_seqs(seqs, names)
+        return ReadStore(bases=self.bases[src], offsets=offsets, names=names)
 
     # ------------------------------------------------------------------ tools
     def n50(self) -> Tuple[int, int]:
@@ -157,14 +165,22 @@ class ReadStore:
 
         Padding value 0 is safe: kernels mask with the returned lengths.
         """
-        idx = np.asarray(idx)
+        idx = np.asarray(idx, dtype=np.int64)
         lens = self.lengths[idx]
         L = int(lens.max()) if pad_to is None else pad_to
         L = -(-L // multiple) * multiple
         out = np.zeros((len(idx), L), dtype=np.uint8)
-        for row, i in enumerate(idx):
-            s = self.get(int(i), rc=rc)
-            out[row, : len(s)] = s[:L]
+        take = np.minimum(lens, L)
+        total = int(take.sum())
+        rows = np.repeat(np.arange(len(idx), dtype=np.int64), take)
+        cols = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(take) - take, take))
+        if rc:
+            src = np.repeat(self.offsets[idx] + lens - 1, take) - cols
+            out[rows, cols] = 3 - self.bases[src]
+        else:
+            src = np.repeat(self.offsets[idx], take) + cols
+            out[rows, cols] = self.bases[src]
         return out, lens.astype(np.int32)
 
 

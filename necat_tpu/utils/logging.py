@@ -46,5 +46,9 @@ def timing_report():
 if TIMING_ON:
     @_atexit.register
     def _dump_timers():
+        # stderr, NOT stdout: bench.py's one-line JSON contract requires the
+        # summary to be the last stdout line (BENCH_r02 lost its headline to
+        # this dump landing after the JSON)
+        import sys as _sys
         for k, (v, c) in timing_report().items():
-            print(f"[timing] {k}: {v}s over {c} calls")
+            print(f"[timing] {k}: {v}s over {c} calls", file=_sys.stderr)

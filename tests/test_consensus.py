@@ -391,3 +391,65 @@ def test_small_memory_mode_matches_default():
 
 
 from dataclasses import replace as dataclasses_replace  # noqa: E402
+
+
+def _small_call(G=20000, gseed=33, rseed=34, coverage=7):
+    genome = simulate.random_genome(G, seed=gseed)
+    reads, *_ = simulate.simulate_reads(
+        genome, coverage=coverage, mean_len=4500, min_len=3000, max_len=6000,
+        seed=rseed)
+    rs = ReadStore.from_seqs(reads)
+    idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=4096)
+    sub_off = jnp.asarray(rs.offsets.astype(np.int32))
+    parts = []
+    for qdir in (0, 1):
+        batch, lens = rs.padded_batch(np.arange(rs.n_reads), rc=bool(qdir))
+        parts.append(find_candidates_batch(idx, sub_off, 0, batch, lens,
+                     np.arange(rs.n_reads, dtype=np.int32), qdir,
+                     rs.lengths.astype(np.int32), opts, pairwise=True))
+    c = top_n_per_query(Candidates.concat(parts), 500)
+    return rs, Candidates.concat([c, c.swap_roles()])
+
+
+def _assert_same_records(recs_a, recs_b):
+    assert len(recs_a) == len(recs_b)
+    for a, b in zip(recs_a, recs_b):
+        assert (a.tid, a.left, a.right, a.corrected) == \
+            (b.tid, b.left, b.right, b.corrected)
+        np.testing.assert_array_equal(a.seq, b.seq)
+
+
+def test_fused_matches_legacy():
+    """The fused single-dispatch path (consensus/fused.py) must produce
+    records identical to the legacy two-program oracle flow."""
+    rs, call = _small_call()
+    co = CnsOptions(templates_per_batch=4, pairs_per_chunk=32,
+                    buckets_per_supergroup=2)
+    recs_a = correct_reads(rs, call, dataclasses_replace(co, fused=False))
+    recs_b = correct_reads(rs, call, dataclasses_replace(co, fused=True))
+    assert any(r.corrected for r in recs_a)
+    _assert_same_records(recs_a, recs_b)
+
+
+def test_fused_matches_legacy_rescue():
+    """Same equality with the long-indel rescue cascade enabled (the fused
+    path runs it by deferral + replay; consensus_aux.c:152-213)."""
+    rs, call = _small_call(gseed=55, rseed=56)
+    co = CnsOptions(templates_per_batch=4, pairs_per_chunk=32,
+                    buckets_per_supergroup=2, rescue_long_indels=True)
+    recs_a = correct_reads(rs, call, dataclasses_replace(co, fused=False))
+    recs_b = correct_reads(rs, call, dataclasses_replace(co, fused=True))
+    assert any(r.corrected for r in recs_a)
+    _assert_same_records(recs_a, recs_b)
+
+
+def test_fused_matches_legacy_fixed_cutoff():
+    """Fixed-cutoff mode (-u 1) skips round 0 entirely in both paths."""
+    rs, call = _small_call(gseed=77, rseed=78)
+    co = CnsOptions(templates_per_batch=4, pairs_per_chunk=32,
+                    buckets_per_supergroup=2, use_fixed_ident_cutoff=True,
+                    error=0.3)
+    recs_a = correct_reads(rs, call, dataclasses_replace(co, fused=False))
+    recs_b = correct_reads(rs, call, dataclasses_replace(co, fused=True))
+    _assert_same_records(recs_a, recs_b)
