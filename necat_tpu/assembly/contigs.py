@@ -129,6 +129,28 @@ def trim_circular_overlap(seq: np.ndarray, k: int = 15, window: int = 50000,
     return seq[:n - wrap]
 
 
+@dataclasses.dataclass(frozen=True)
+class AssembleOptions:
+    """fsa_assemble's own knobs (assembly.cpp:60-73 AddNamedOption)."""
+    min_contig_length: int = 500
+    max_spur_length: int = 50000
+    select_branch: str = "no"
+
+    @classmethod
+    def from_string(cls, s: str,
+                    base: "AssembleOptions | None" = None) -> "AssembleOptions":
+        """Parse an FSA_ASSEMBLE_OPTIONS string (fsa_assemble ArgumentParser
+        names). Unsupported names warn loudly."""
+        from necat_tpu.utils.args import apply_named, parse_named
+        mapping = {
+            "min_contig_length": ("min_contig_length", int),
+            "max_spur_length": ("max_spur_length", int),
+            "select_branch": ("select_branch", str),
+        }
+        return apply_named(parse_named(s), mapping, base or cls(),
+                           "fsa_assemble")
+
+
 def assemble(
     store: ReadStore,
     m4: M4Records,

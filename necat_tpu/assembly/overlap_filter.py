@@ -41,6 +41,29 @@ class FilterOptions:
     overhang_deviation: float = 6.0
     lack_of_support: bool = True     # FilterLackOfSupport pass
 
+    @classmethod
+    def from_string(cls, s: str,
+                    base: "FilterOptions | None" = None) -> "FilterOptions":
+        """Parse an FSA_OL_FILTER_OPTIONS string (fsa_ol_filter ArgumentParser
+        names, overlap_filter.cpp:31-60) over defaults. Unsupported names
+        warn loudly instead of vanishing."""
+        from necat_tpu.utils.args import apply_named, parse_named
+        mapping = {
+            "min_length": ("min_length", int),
+            "min_identity": ("min_identity", float),
+            "min_aligned_length": ("min_aligned_length", int),
+            "max_overhang": ("max_overhang", int),
+            "min_coverage": ("min_coverage", int),
+            "max_coverage": ("max_coverage", int),
+            "max_diff_coverage": ("max_diff_coverage", int),
+            "coverage_discard": ("coverage_discard", float),
+            "bestn": ("bestn", int),
+            "identity_global_deviation2": ("identity_deviation", float),
+            "overhang_global_deviation2": ("overhang_deviation", float),
+        }
+        return apply_named(parse_named(s), mapping, base or cls(),
+                           "fsa_ol_filter")
+
 
 @dataclasses.dataclass
 class FilterResult:

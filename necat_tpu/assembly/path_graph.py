@@ -520,10 +520,18 @@ def sequence_similarity(a: np.ndarray, b: np.ndarray, band_frac: float = 0.2
     cov = min(la, lb) / max(la, lb)
     if max(la, lb) > 100_000:
         # banded DP would be quadratic-ish here; estimate identity from shared
-        # k-mer fraction instead (bubble classification only needs a coarse call)
+        # k-mer fraction instead (bubble classification only needs a coarse
+        # call). Packed-int k-mers, NOT hash(): str hash is salted per process
+        # (PYTHONHASHSEED) and would make multi-process runs non-deterministic.
         k = 16
-        ka = {hash(a[i:i + k].tobytes()) for i in range(0, la - k + 1, 4)}
-        kb = {hash(b[i:i + k].tobytes()) for i in range(0, lb - k + 1, 4)}
+
+        def kmers(s):
+            v = np.lib.stride_tricks.sliding_window_view(
+                s.astype(np.int64), k)[::4]
+            return set((v * (4 ** np.arange(k, dtype=np.int64))).sum(1).tolist())
+
+        ka = kmers(a)
+        kb = kmers(b)
         if not ka or not kb:
             return cov, 0.0
         jac = len(ka & kb) / max(len(ka), len(kb))

@@ -47,6 +47,23 @@ class BridgeOptions:
     # (vs the reference's best single group)
     junction_consensus: bool = True
 
+    @classmethod
+    def from_string(cls, s: str,
+                    base: "BridgeOptions | None" = None) -> "BridgeOptions":
+        """Parse an FSA_CTG_BRIDGE_OPTIONS string (fsa_ctg_bridge
+        ArgumentParser names, contig_bridge.cpp:14-30). Unsupported names
+        warn loudly."""
+        from necat_tpu.utils.args import apply_named, parse_named
+        mapping = {
+            "read2ctg_min_identity": ("min_ident", float),
+            "read2ctg_min_aligned_length": ("min_align_size", int),
+            "read2ctg_min_coverage": ("min_support", int),
+            "ctg2ctg_min_aligned_length": ("c2c_min_len", int),
+            "window_size": ("end_window", int),
+        }
+        return apply_named(parse_named(s), mapping, base or cls(),
+                           "fsa_ctg_bridge")
+
 
 def _read_placements(m4: M4Records) -> Dict[int, List[int]]:
     by_read: Dict[int, List[int]] = defaultdict(list)

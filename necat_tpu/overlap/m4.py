@@ -88,6 +88,8 @@ class M4Records:
             return self.save_m4a(path, names)
         if base.endswith(".paf"):
             return self.save_paf(path, names)
+        if base.endswith(".ovl"):
+            return self.save_ovl(path)
         opener = gzip.open if str(path).endswith(".gz") else open
         with opener(path, "wt") as f:
             for i in range(len(self)):
@@ -105,6 +107,61 @@ class M4Records:
                         f"{self.ident[i]:.2f} {self.vscore[i]} "
                         f"{self.qdir[i]} {self.qoff[i]} {self.qend[i]} {self.qsize[i]} "
                         f"{self.sdir[i]} {self.soff[i]} {self.send[i]} {self.ssize[i]}\n")
+
+    @classmethod
+    def load_m4a(cls, path: str | os.PathLike, name2id=None):
+        """Load an m4a file (M4 with read NAMES in the id columns — the
+        reference's bridge-stage interchange format, necat.pl:1293
+        rawread2ctg.m4a.gz; OverlapStore::FromM4aLine overlap_store.cpp:95).
+
+        With `name2id` (dict name -> integer id), returns M4Records in that id
+        space. Without it, ids are assigned in first-seen order and the
+        return is (M4Records, names list)."""
+        opener = gzip.open if str(path).endswith(".gz") else open
+        auto = name2id is None
+        ids: dict = {} if auto else name2id
+        names: list = []
+        rows = []
+        with opener(path, "rt") as f:
+            for line in f:
+                t = line.split()
+                if len(t) < 12:
+                    continue
+                qn, sn = t[0], t[1]
+                if auto:
+                    for n in (qn, sn):
+                        if n not in ids:
+                            ids[n] = len(names)
+                            names.append(n)
+                rows.append((ids[qn], ids[sn], float(t[2]), int(float(t[3])),
+                             int(t[4]), int(t[5]), int(t[6]), int(t[7]),
+                             int(t[8]), int(t[9]), int(t[10]), int(t[11])))
+        if rows:
+            arr = np.array(rows, dtype=np.float64)
+            m = cls(
+                qid=arr[:, 0].astype(np.int32), sid=arr[:, 1].astype(np.int32),
+                ident=arr[:, 2].astype(np.float32),
+                vscore=arr[:, 3].astype(np.int32),
+                qdir=arr[:, 4].astype(np.int8), qoff=arr[:, 5].astype(np.int32),
+                qend=arr[:, 6].astype(np.int32), qsize=arr[:, 7].astype(np.int32),
+                sdir=arr[:, 8].astype(np.int8), soff=arr[:, 9].astype(np.int32),
+                send=arr[:, 10].astype(np.int32),
+                ssize=arr[:, 11].astype(np.int32))
+        else:
+            m = cls.empty()
+        return (m, names) if auto else m
+
+    def save_ovl(self, path: str | os.PathLike) -> None:
+        """Write FALCON OVL lines (inverse of load_ovl; OverlapStore::ToOvlLine
+        role, src/fsa/overlap_store.cpp): aid bid score ident astrand astart
+        aend alen bstrand bstart bend blen."""
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "wt") as f:
+            for i in range(len(self)):
+                f.write(f"{self.qid[i]} {self.sid[i]} {self.vscore[i]} "
+                        f"{self.ident[i]:.2f} {self.qdir[i]} {self.qoff[i]} "
+                        f"{self.qend[i]} {self.qsize[i]} {self.sdir[i]} "
+                        f"{self.soff[i]} {self.send[i]} {self.ssize[i]}\n")
 
     def save_paf(self, path: str | os.PathLike, names=None) -> None:
         """minimap2 PAF (the interop format OverlapStore reads/writes,
@@ -197,9 +254,14 @@ class M4Records:
     @classmethod
     def load_any(cls, path: str | os.PathLike, name2id=None) -> "M4Records":
         """Extension-dispatching loader (OverlapStore::DetectFileType,
-        src/fsa/overlap_store.cpp:35-56): .m4[.gz], .paf[.gz], .ovl[.gz]."""
+        src/fsa/overlap_store.cpp:35-56): .m4[.gz], .m4a[.gz], .paf[.gz],
+        .ovl[.gz]. For .m4a without name2id, names are dropped (ids assigned
+        first-seen; use load_m4a directly to keep them)."""
         p = str(path)
         base = p[:-3] if p.endswith(".gz") else p
+        if base.endswith(".m4a"):
+            r = cls.load_m4a(path, name2id)
+            return r[0] if isinstance(r, tuple) else r
         if base.endswith(".paf"):
             return cls.load_paf(path, name2id)
         if base.endswith(".ovl"):

@@ -19,7 +19,7 @@ from typing import Callable, List
 
 import numpy as np
 
-from necat_tpu.assembly.contigs import assemble
+from necat_tpu.assembly.contigs import AssembleOptions, assemble
 from necat_tpu.assembly.overlap_filter import FilterOptions
 from necat_tpu.consensus.correct import correct_reads
 from necat_tpu.consensus.options import CnsOptions
@@ -247,7 +247,16 @@ class Project:
             m4 = overlap_all_vs_all(trimmed, mopts)
             os.makedirs(wd, exist_ok=True)
             m4.save(os.path.join(wd, "pm.m4.gz"))
-            res = assemble(trimmed, m4, FilterOptions())
+            # FSA_* option strings are passed verbatim to the fsa layer, like
+            # necat.pl passes them to the binaries (necat.pl:1228-1245)
+            fopts = FilterOptions.from_string(
+                self.cfg.get("FSA_OL_FILTER_OPTIONS", ""))
+            aopts = AssembleOptions.from_string(
+                self.cfg.get("FSA_ASSEMBLE_OPTIONS", ""))
+            res = assemble(trimmed, m4, fopts,
+                           min_contig_length=aopts.min_contig_length,
+                           max_spur_length=aopts.max_spur_length,
+                           select_branch=aopts.select_branch)
             res.contigs.to_fasta(out)
             res.bubbles.to_fasta(os.path.join(wd, "bubbles.fasta"))
             with open(os.path.join(wd, "contig_tiles"), "w") as f:
@@ -273,10 +282,12 @@ class Project:
         out = os.path.join(wd, "bridged_contigs.fasta")
 
         def fn():
-            from necat_tpu.bridge.bridge import bridge_contigs
+            from necat_tpu.bridge.bridge import BridgeOptions, bridge_contigs
             contigs = ReadStore.from_fasta(ctg_path)
             reads = load_raw_reads(self.cfg)
-            bridged = bridge_contigs(contigs, reads)
+            bopts = BridgeOptions.from_string(
+                self.cfg.get("FSA_CTG_BRIDGE_OPTIONS", ""))
+            bridged = bridge_contigs(contigs, reads, opts=bopts)
             bridged.to_fasta(out)
 
         _stage(wd, "bridge", [ctg_path], [out], {}, fn, coordinator_only=True)

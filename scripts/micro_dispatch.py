@@ -66,10 +66,6 @@ def main():
               f"total/chunk={t_all/N*1e3:.0f} ms")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def alternation_test():
     """Does switching executables cost? Alternate two tiers + a scatter."""
     rng = np.random.default_rng(0)
@@ -115,4 +111,9 @@ def alternation_test():
 
 
 if __name__ == "__main__":
-    alternation_test()
+    import sys as _sys
+    if "--alternation" in _sys.argv:
+        alternation_test()
+    else:
+        main()
+        alternation_test()

@@ -105,3 +105,106 @@ def test_m4a_and_paf_save_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.qend, m4.qend)
     np.testing.assert_array_equal(back.soff, m4.soff)
     np.testing.assert_array_equal(back.send, m4.send)
+
+
+def test_m4a_load_roundtrip(tmp_path):
+    """m4a READ interop (FromM4aLine, overlap_store.cpp:95): the reference's
+    bridge-stage interchange format must round-trip, with and without an
+    external name->id mapping."""
+    m4 = M4Records(
+        qid=np.array([0, 1], np.int32), sid=np.array([1, 2], np.int32),
+        ident=np.array([91.5, 88.25], np.float32),
+        vscore=np.array([500, 400], np.int32),
+        qdir=np.array([0, 1], np.int8),
+        qoff=np.array([10, 20], np.int32), qend=np.array([900, 800], np.int32),
+        qsize=np.array([1000, 1000], np.int32),
+        sdir=np.zeros(2, np.int8),
+        soff=np.array([5, 50], np.int32), send=np.array([890, 830], np.int32),
+        ssize=np.array([950, 1200], np.int32))
+    names = ["ra", "rb", "rc"]
+    p = tmp_path / "x.m4a.gz"
+    m4.save(p, names=names)
+    back = M4Records.load_m4a(p, {n: i for i, n in enumerate(names)})
+    for f in ("qid", "sid", "qdir", "qoff", "qend", "qsize", "soff", "send",
+              "ssize", "vscore"):
+        np.testing.assert_array_equal(getattr(back, f), getattr(m4, f))
+    np.testing.assert_allclose(back.ident, m4.ident, atol=0.01)
+    # auto-id mode returns (m4, names) in first-seen order
+    back2, names2 = M4Records.load_m4a(p)
+    assert names2 == ["ra", "rb", "rc"]
+    np.testing.assert_array_equal(back2.qid, [0, 1])
+    np.testing.assert_array_equal(back2.sid, [1, 2])
+    # load_any dispatches .m4a too
+    back3 = M4Records.load_any(p, {n: i for i, n in enumerate(names)})
+    np.testing.assert_array_equal(back3.qid, m4.qid)
+
+
+def test_ovl_save_roundtrip(tmp_path):
+    """OVL WRITE interop: save_ovl lines parse back via load_ovl."""
+    m4 = M4Records(
+        qid=np.array([3, 4], np.int32), sid=np.array([4, 5], np.int32),
+        ident=np.array([95.0, 87.5], np.float32),
+        vscore=np.array([100, 90], np.int32),
+        qdir=np.array([1, 0], np.int8),
+        qoff=np.array([0, 7], np.int32), qend=np.array([500, 600], np.int32),
+        qsize=np.array([520, 610], np.int32),
+        sdir=np.zeros(2, np.int8),
+        soff=np.array([3, 9], np.int32), send=np.array([505, 599], np.int32),
+        ssize=np.array([700, 620], np.int32))
+    p = tmp_path / "x.ovl"
+    m4.save(p)
+    back = M4Records.load_any(p)
+    for f in ("qid", "sid", "qdir", "qoff", "qend", "qsize", "soff", "send",
+              "ssize", "vscore"):
+        np.testing.assert_array_equal(getattr(back, f), getattr(m4, f))
+
+
+def test_fsa_option_strings():
+    """FSA_* config strings reach the fsa layer (necat.pl:1228-1245 passes
+    them verbatim); unknown flags warn instead of vanishing."""
+    from necat_tpu.assembly.contigs import AssembleOptions
+    from necat_tpu.assembly.overlap_filter import FilterOptions
+    from necat_tpu.bridge.bridge import BridgeOptions
+
+    fo = FilterOptions.from_string("--bestn=3 --min_length 1000 "
+                                   "--max_overhang=500")
+    assert (fo.bestn, fo.min_length, fo.max_overhang) == (3, 1000, 500)
+    assert FilterOptions.from_string("--no_such_flag=5") == FilterOptions()
+
+    ao = AssembleOptions.from_string("--max_spur_length=10000 "
+                                     "--select_branch=best")
+    assert (ao.max_spur_length, ao.select_branch) == (10000, "best")
+
+    bo = BridgeOptions.from_string("--read2ctg_min_identity=85 "
+                                   "--window_size=2000")
+    assert (bo.min_ident, bo.end_window) == (85.0, 2000)
+
+
+def test_fsa_bestn_changes_filter_output():
+    """A config --bestn flag must actually change fsa_ol_filter output."""
+    from necat_tpu.assembly.overlap_filter import FilterOptions, filter_overlaps
+    rng = np.random.default_rng(0)
+    n_reads, n_ovl = 12, 160
+    qid = rng.integers(0, n_reads, n_ovl).astype(np.int32)
+    sid = (qid + 1 + rng.integers(0, n_reads - 1, n_ovl)).astype(np.int32) % n_reads
+    qsize = np.full(n_ovl, 10000, np.int32)
+    # proper suffix->prefix dovetails (NOT containments: FilterContained
+    # would otherwise drop everything regardless of bestn)
+    qoff = rng.integers(4000, 6000, n_ovl).astype(np.int32)
+    qend = (10000 - rng.integers(0, 50, n_ovl)).astype(np.int32)
+    m4 = M4Records(
+        qid=qid, sid=sid,
+        ident=rng.uniform(85, 99, n_ovl).astype(np.float32),
+        vscore=np.full(n_ovl, 100, np.int32),
+        qdir=np.zeros(n_ovl, np.int8), qoff=qoff, qend=qend, qsize=qsize,
+        sdir=np.zeros(n_ovl, np.int8),
+        soff=rng.integers(0, 50, n_ovl).astype(np.int32),
+        send=(qend - qoff).astype(np.int32),
+        ssize=qsize.copy())
+    base = FilterOptions(min_length=0, min_aligned_length=0, lack_of_support=False,
+                         min_coverage=0, max_coverage=10**6,
+                         max_diff_coverage=10**6)
+    import dataclasses as dc
+    r_all = filter_overlaps(m4, n_reads, dc.replace(base, bestn=100))
+    r_one = filter_overlaps(m4, n_reads, dc.replace(base, bestn=1))
+    assert len(r_one.m4) < len(r_all.m4)
