@@ -220,17 +220,27 @@ class Project:
         wd = self.path("2-trim_bases")
         out = self.path("trimReads.fasta.gz")
 
+        method = (self.cfg.get("TRIM_METHOD", "fast").strip() or "fast")
+
         def fn():
             reads = ReadStore.from_fasta(cns)
             mopts = MapOptions.from_string(
                 self.cfg.get("TRIM_OVLP_OPTIONS", ""),
                 MapOptions(ncan=100, n_chains_per_pair=2))
             m4 = overlap_all_vs_all(reads, mopts)
-            trimmed, kept, ranges = trim_reads(reads, m4, TrimOptions())
+            if method in ("accurate", "accurate0"):
+                # TRIM_METHOD selection (necat.pl:1196-1210): the accurate
+                # variants re-consensus each read over its cover range
+                from necat_tpu.trim.accurate import trim_reads_accurate
+                trimmed, kept, ranges = trim_reads_accurate(reads, m4)
+            else:
+                trimmed, kept, ranges = trim_reads(reads, m4, TrimOptions())
             trimmed.to_fasta(out)
-            logger.info("trimmed: %d/%d reads kept", trimmed.n_reads, reads.n_reads)
+            logger.info("trimmed (%s): %d/%d reads kept", method,
+                        trimmed.n_reads, reads.n_reads)
 
-        _stage(wd, "trim", [cns], [out], {}, fn, coordinator_only=True)
+        _stage(wd, "trim", [cns], [out], {"method": method}, fn,
+               coordinator_only=True)
         return out
 
     def run_assemble(self) -> str:

@@ -146,3 +146,49 @@ def test_tools_cli(tmp_path, capsys):
     out = tmp_path / "l.fasta"
     assert tools.main(["longest", str(p), str(out), "10000", "2"]) == 0
     assert ReadStore.from_fasta(out).total_bases >= 20000 * 0.9
+
+
+def test_trim_accurate_reconsensus():
+    """TRIM_METHOD=accurate (trim_bases_accurate): outputs are CONSENSUS
+    sequences over the cover range — identity to the genome must beat the raw
+    reads' ~85%."""
+    from necat_tpu.overlap.overlapper import overlap_all_vs_all
+    from necat_tpu.overlap.options import MapOptions
+    from necat_tpu.trim.accurate import trim_reads_accurate
+    from necat_tpu.io import simulate
+    from necat_tpu.io.readstore import ReadStore
+
+    G = 25000
+    genome = simulate.random_genome(G, seed=91)
+    reads, st, sd, ln = simulate.simulate_reads(
+        genome, coverage=10, mean_len=5000, min_len=3500, max_len=6500,
+        seed=92)
+    rs = ReadStore.from_seqs(reads)
+    m4 = overlap_all_vs_all(
+        rs, MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=4096,
+                       ncan=100))
+    # simulated overlap identities sit near the 91 cutoff; relax it so enough
+    # overlaps survive to exercise the consensus pass
+    from necat_tpu.trim.accurate import TrimAccurateOptions
+    trimmed, kept, ranges = trim_reads_accurate(
+        rs, m4, TrimAccurateOptions(min_ident=70.0, cns_min_ident=70.0))
+    assert trimmed.n_reads >= rs.n_reads * 0.4
+    # each output maps inside its source read's range
+    assert (ranges[:, 1] > ranges[:, 0]).all()
+    idents = []
+    for i in range(min(trimmed.n_reads, 10)):
+        rid = int(kept[i])
+        l, r = ranges[i]
+        frac_l, frac_r = l / len(reads[rid]), r / len(reads[rid])
+        s0, L0 = int(st[rid]), int(ln[rid])
+        if sd[rid] == 0:
+            a, b = s0 + int(frac_l * L0), s0 + int(frac_r * L0)
+        else:
+            a, b = s0 + int((1 - frac_r) * L0), s0 + int((1 - frac_l) * L0)
+        if b - a < 1000:
+            continue
+        seq = trimmed.get(i) if sd[rid] == 0 else \
+            (3 - trimmed.get(i)[::-1]).astype(np.uint8)
+        idents.append(simulate.identity_to_genome(seq, genome, a, 0, b - a))
+    assert len(idents) >= 3
+    assert np.mean(idents) >= 92.0, f"accurate-trim identity {np.mean(idents):.2f}"
