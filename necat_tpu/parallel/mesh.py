@@ -41,8 +41,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
 
 
 def auto_mesh() -> Optional[Mesh]:
-    """The pipeline's device mesh: all local devices, or None single-device."""
+    """The pipeline's device mesh: all local devices, or None single-device.
+
+    On the CPU backend a multi-device mesh only exists when virtual devices
+    were forced for TESTING (xla_force_host_platform_device_count); picking it
+    up implicitly made every CPU test run shard_map'ed dispatches, and long
+    multi-test processes segfault inside the XLA CPU client under that load
+    (order-dependent crash at ~90 tests, round-2 verdict). Production meshes
+    are TPU; CPU meshes are opt-in via NECAT_TPU_CPU_MESH=1 or an explicit
+    `mesh=` argument (tests/test_mesh.py passes one)."""
+    import os
     if len(jax.devices()) <= 1:
+        return None
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("NECAT_TPU_CPU_MESH", "0") != "1"):
         return None
     return make_mesh()
 

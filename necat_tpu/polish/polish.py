@@ -46,6 +46,15 @@ class PolishOptions:
     # (the 10 kb-overlap chunking precedent, split_long_reads/main.c:12 — the
     # reference's 1 Mb ctg segments are UNhaloed and dip at seams)
     halo: int = 5000
+    # filter_m4 role (src/ctg_cns/filter_m4.c:63-118): keep only reads whose
+    # contig placement is UNIQUE — the reference emits a read's mapping only
+    # when it has exactly one full-length mapping at ident >= 90. Here: a
+    # read's candidates survive only toward its best-scoring contig, and
+    # reads whose second-best contig scores >= ambiguity_ratio x best are
+    # dropped entirely. At genome scale this is the difference between
+    # extending every read against every window and extending each read once.
+    unique_placement: bool = True
+    ambiguity_ratio: float = 0.8
 
 
 def split_contigs(contigs: ReadStore, seg_len: int, halo: int = 0
@@ -62,6 +71,47 @@ def split_contigs(contigs: ReadStore, seg_len: int, halo: int = 0
             names.append(f"{contigs.names[c]}:{s}")
             info.append((c, s, w0))
     return ReadStore.from_seqs(seqs, names), info
+
+
+def _filter_unique_placement(cands: Candidates, info,
+                             ambiguity_ratio: float) -> Candidates:
+    """filter_m4 role (src/ctg_cns/filter_m4.c): per read, keep candidates
+    only toward its best-scoring contig; drop reads whose second-best contig
+    is within ambiguity_ratio of the best (the reference's exactly-one-full-
+    mapping rule, :109-118)."""
+    seg_ctg = np.array([c for (c, _, _) in info], dtype=np.int64)
+    ctg = seg_ctg[cands.sid]
+    qid = cands.qid.astype(np.int64)
+    # per (read, contig) total score via sorted segment reduction
+    order = np.lexsort((ctg, qid))
+    q_s, c_s, sc_s = qid[order], ctg[order], cands.score[order].astype(np.int64)
+    new_grp = np.r_[True, (q_s[1:] != q_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    gidx = np.cumsum(new_grp) - 1
+    n_grp = int(gidx[-1]) + 1
+    tot = np.zeros(n_grp, np.int64)
+    np.add.at(tot, gidx, sc_s)
+    g_q = q_s[new_grp]
+    g_c = c_s[new_grp]
+    # best / second-best contig per read
+    go = np.lexsort((-tot, g_q))
+    gq_s = g_q[go]
+    first = np.r_[True, gq_s[1:] != gq_s[:-1]]
+    best_i = go[first]
+    n_reads = int(qid.max()) + 1
+    best_ctg = np.full(n_reads, -1, np.int64)
+    best_sc = np.zeros(n_reads, np.int64)
+    second_sc = np.zeros(n_reads, np.int64)
+    best_ctg[g_q[best_i]] = g_c[best_i]
+    best_sc[g_q[best_i]] = tot[best_i]
+    pos_in_read = np.arange(len(go)) - np.repeat(np.flatnonzero(first),
+                                                 np.diff(np.r_[
+                                                     np.flatnonzero(first),
+                                                     len(go)]))
+    sec = go[pos_in_read == 1]
+    second_sc[g_q[sec]] = tot[sec]
+    ambiguous = second_sc >= ambiguity_ratio * np.maximum(best_sc, 1)
+    keep = (ctg == best_ctg[qid]) & ~ambiguous[qid]
+    return cands.take(np.flatnonzero(keep))
 
 
 def polish_contigs(
@@ -82,6 +132,8 @@ def polish_contigs(
     # read -> segment candidates; combined store puts segments after reads
     cands = find_all_candidates(reads, segments, map_opts, pairwise=False,
                                 progress=progress)
+    if opts.unique_placement and len(cands):
+        cands = _filter_unique_placement(cands, info, opts.ambiguity_ratio)
     offset = reads.n_reads
     cands = Candidates(
         qid=cands.qid, sid=cands.sid + offset, qdir=cands.qdir, score=cands.score,

@@ -117,3 +117,40 @@ def test_polish_no_seam_identity_dip():
         d = simulate.banded_edit_distance(win, ref, band=600,
                                           b_prefix_free=True, b_suffix_free=True)
         assert d <= 24, f"seam {seam}: {d} edits in a 2.4 kb window"
+
+
+def test_unique_placement_filter():
+    """filter_m4 role: with one contig the filter is a no-op (byte-identical
+    output); with a duplicated contig the ambiguous reads are dropped."""
+    import dataclasses
+    from necat_tpu.overlap.candidates import Candidates
+    from necat_tpu.polish.polish import _filter_unique_placement
+
+    rng = np.random.default_rng(8)
+    truth = simulate.random_genome(20000, seed=9)
+    draft = simulate.mutate(truth, simulate.ErrorModel(0.005, 0.003, 0.003), rng)
+    contigs = ReadStore.from_seqs([draft], ["ctg0"])
+    reads, *_ = simulate.simulate_reads(
+        truth, coverage=10, mean_len=6000, min_len=4000, max_len=8000,
+        em=simulate.ErrorModel(0.04, 0.04, 0.04), seed=10, circular=False)
+    raw = ReadStore.from_seqs(reads)
+    po = PolishOptions(segment_size=16384, min_ident=75.0,
+                       templates_per_batch=2)
+    a = polish_contigs(contigs, raw, opts=po)
+    b = polish_contigs(contigs, raw,
+                       opts=dataclasses.replace(po, unique_placement=False))
+    np.testing.assert_array_equal(a.get(0), b.get(0))
+
+    # unit-level ambiguity: read 0 maps equally to two contigs -> dropped;
+    # read 1 maps uniquely -> kept toward its best contig only
+    c = Candidates(
+        qid=np.array([0, 0, 1, 1], np.int32),
+        sid=np.array([0, 1, 0, 1], np.int32),
+        qdir=np.zeros(4, np.int8), score=np.array([100, 95, 100, 10], np.int32),
+        qbeg=np.zeros(4, np.int32), qend=np.full(4, 50, np.int32),
+        sbeg=np.zeros(4, np.int32), send=np.full(4, 50, np.int32),
+        qsize=np.full(4, 60, np.int32), ssize=np.full(4, 60, np.int32))
+    info = [(0, 0, 0), (1, 0, 0)]   # two segments, two different contigs
+    kept = _filter_unique_placement(c, info, 0.8)
+    assert kept.qid.tolist() == [1]
+    assert kept.sid.tolist() == [0]
