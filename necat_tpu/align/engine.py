@@ -94,6 +94,9 @@ class ExtendEngine:
         self.sdev = sdev
         self.cap = pairs_per_chunk
         self.mesh = pmesh.auto_mesh() if mesh is None else mesh
+        # device the stores are pinned to (None = backend default); the
+        # multi-device correction path runs one engine per device
+        self.device = getattr(qdev, "device", None)
 
     def plan(
         self,

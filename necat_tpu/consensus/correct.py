@@ -169,11 +169,16 @@ def correct_reads(
     SG = TB * opts.buckets_per_supergroup
     from necat_tpu.io.devstore import DeviceReadStore
     small_memory = opts.small_memory or store.total_bases >= (1 << 31)
-    dev = engine = None
+    devices = _correction_devices() if fused_mode(opts) else [None]
+    engines = None
     if not small_memory and len(tids_sorted):
         with timed("cns.devstore_init"):
-            dev = DeviceReadStore(store)
-        engine = ExtendEngine(dev, dev, opts.pairs_per_chunk)
+            # multi-device: replicate the packed store per device; template
+            # buckets run round-robin on the devices (no collectives — the
+            # reference's per-node partition stripes, consensus/main.c:71-73)
+            engines = [ExtendEngine(d, d, opts.pairs_per_chunk)
+                       for d in (DeviceReadStore(store, device=dv)
+                                 for dv in devices)]
     for s in range(0, len(tids_sorted), SG):
         sg_ids = tids_sorted[s:s + SG]
         if small_memory:
@@ -185,27 +190,56 @@ def correct_reads(
             ids = np.array(sorted(ids), dtype=np.int64)
             sub = store.subset(ids)
             with timed("cns.devstore_init"):
-                dev = DeviceReadStore(sub)
-            engine = ExtendEngine(dev, dev, opts.pairs_per_chunk)
+                sg_engines = [ExtendEngine(d, d, opts.pairs_per_chunk)
+                              for d in (DeviceReadStore(sub, device=dv)
+                                        for dv in devices)]
             id_map = ids
         else:
+            sg_engines = engines
             id_map = None
         records.extend(_correct_supergroup(
-            store, dev, engine, cands, groups, sg_ids, opts,
+            store, sg_engines, cands, groups, sg_ids, opts,
             template_cuts or {}, id_map=id_map))
     return records
 
 
+def _correction_devices() -> list:
+    """Devices for the bucket-parallel correction path. Default: all local
+    TPU chips; 1 elsewhere. NECAT_TPU_CNS_DEVICES=<n> overrides (used by the
+    CPU-mesh dryrun/tests with xla_force_host_platform_device_count)."""
+    import os
+    n = os.environ.get("NECAT_TPU_CNS_DEVICES")
+    if n is not None:
+        k = int(n)
+        return list(jax.devices()[:k]) if k > 1 else [None]
+    if jax.default_backend() == "tpu":
+        d = jax.local_devices()
+        if len(d) > 1:
+            return list(d)
+    return [None]
+
+
+def _on_device(device, fn):
+    """Run an array-creating fn with `device` as the default placement."""
+    if device is None:
+        return fn()
+    with jax.default_device(device):
+        return fn()
+
+
 class _Bucket:
-    def __init__(self, store, ids, TB, D):
+    def __init__(self, store, ids, TB, D, device=None):
         self.n_real = len(ids)
         self.ids = (np.concatenate([ids, np.repeat(ids[-1:], TB - len(ids))])
                     if len(ids) < TB else ids)
         self.Lt = _bucket_len(int(store.lengths[self.ids].max()))
         self.tlens = store.lengths[self.ids].astype(np.int64).copy()
         self.tlens[self.n_real:] = 0     # padding rows emit nothing
-        self.weights = jnp.zeros((TB + 1, D, 5, self.Lt), jnp.float32)
-        self.covten = jnp.zeros((TB + 1, self.Lt), jnp.int32)
+        self.device = device
+        self.weights = _on_device(
+            device, lambda: jnp.zeros((TB + 1, D, 5, self.Lt), jnp.float32))
+        self.covten = _on_device(
+            device, lambda: jnp.zeros((TB + 1, self.Lt), jnp.int32))
 
 
 class _Tpl:
@@ -317,11 +351,13 @@ def _insb_words(opts: CnsOptions) -> int:
     return min(max(-(-max(opts.max_delta - 1, 1) // tags_mod.N_INSB), 1), 3)
 
 
-def _run_waves_legacy(dev, engine, cands, tpls, buckets, opts: CnsOptions,
+def _run_waves_legacy(engines, cands, tpls, buckets, opts: CnsOptions,
                       st: _SelState, local_ids) -> None:
     """The two-program oracle flow: extend chunks, host-side acceptance,
     separate scatter dispatches (round-2 production path, now the oracle the
-    fused path is equality-tested against)."""
+    fused path is equality-tested against). Single-device only."""
+    engine = engines[0]
+    dev = engine.qdev
     TB = opts.templates_per_batch
     D = opts.max_delta
     estimating = not opts.use_fixed_ident_cutoff
@@ -442,19 +478,24 @@ def _run_waves_legacy(dev, engine, cands, tpls, buckets, opts: CnsOptions,
         round_id += 1
 
 
-def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
+def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                      st: _SelState, local_ids) -> None:
     """Fused single-dispatch flow (consensus/fused.py): per chunk ONE device
     program does gather+extend+accept+scatter against device-resident
     cutoffs; the only per-wave host sync is the stats read that feeds the
-    coverage mirror. Rescue runs by deferral (see fused.py docstring)."""
+    coverage mirror. Rescue runs by deferral (see fused.py docstring).
+    With multiple engines, bucket bi's programs run on engines[bi % n]'s
+    device (see dispatch_wave)."""
     from necat_tpu.consensus import fused
+    dev = engines[0].qdev
     TB = opts.templates_per_batch
     D = opts.max_delta
     estimating = not opts.use_fixed_ident_cutoff
-    cutoffs = {bi: jnp.full((TB + 1,),
-                            0.0 if estimating else 100.0 * (1.0 - opts.error),
-                            jnp.float32) for bi in range(len(buckets))}
+    cutoffs = {bi: _on_device(
+        buckets[bi].device,
+        lambda: jnp.full((TB + 1,),
+                         0.0 if estimating else 100.0 * (1.0 - opts.error),
+                         jnp.float32)) for bi in range(len(buckets))}
     tensors = {bi: (b.weights, b.covten) for bi, b in enumerate(buckets)}
     for b in buckets:
         b.weights = b.covten = None    # ownership in tensors (donated through)
@@ -503,11 +544,14 @@ def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
             # ident estimation (+ rescue splice into the ident buffer)
             assert wave <= fused.IDENT_SLOTS, \
                 "n_ident+10 must fit IDENT_SLOTS (fused.py)"
-            ibufs = {bi: jnp.zeros((TB + 1, fused.IDENT_SLOTS, 3), jnp.float32)
-                     for bi in sorted({int(g) for g in base["groups"]})}
+            ibufs = {bi: _on_device(
+                buckets[bi].device,
+                lambda: jnp.zeros((TB + 1, fused.IDENT_SLOTS, 3),
+                                  jnp.float32))
+                for bi in sorted({int(g) for g in base["groups"]})}
             with timed("cns.extend_pairs_total"):
                 ich = fused.dispatch_wave(
-                    engine, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
+                    engines, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
                     allow_fullcov=False, slots=slots, ibufs=ibufs)
                 if rescue:
                     s0 = fused.new_fused_stats(npairs)
@@ -518,7 +562,7 @@ def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
                     keep_wide = np.zeros(npairs, bool)
                     if len(bad):
                         wch = fused.dispatch_wave(
-                            engine, **sub(bad), W=Wwide, cutoffs=cutoffs,
+                            engines, **sub(bad), W=Wwide, cutoffs=cutoffs,
                             tensors=tensors, allow_fullcov=False,
                             slots=slots[bad], ibufs=ibufs,
                             nc0=s0["n_cols"][bad], cols_guard=True)
@@ -538,12 +582,12 @@ def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
                 for idx, Wx in ((nw, W0), (wv, Wwide)):
                     if len(idx):
                         ch = fused.dispatch_wave(
-                            engine, **sub(idx), W=Wx, cutoffs=cutoffs,
+                            engines, **sub(idx), W=Wx, cutoffs=cutoffs,
                             tensors=tensors, allow_fullcov=False)
                         fused.collect_fused(ch, stats, sel=idx)
             else:
                 ch = fused.dispatch_wave(
-                    engine, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
+                    engines, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
                     allow_fullcov=allow_fc,
                     qend_cand=cands.qend[p_ci].astype(np.int64),
                     rescue_defer=rescue)
@@ -552,14 +596,14 @@ def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
                     di = np.flatnonzero(stats["deferred"])
                     if len(di):
                         wch = fused.dispatch_wave(
-                            engine, **sub(di), W=Wwide, cutoffs=cutoffs,
+                            engines, **sub(di), W=Wwide, cutoffs=cutoffs,
                             tensors=tensors, allow_fullcov=allow_fc,
                             nc0=stats["n_cols"][di], cols_guard=True)
                         fused.collect_fused(wch, stats, sel=di)
                         d2 = di[stats["deferred"][di]]
                         if len(d2):
                             fch = fused.dispatch_wave(
-                                engine, **sub(d2), W=W0, cutoffs=cutoffs,
+                                engines, **sub(d2), W=W0, cutoffs=cutoffs,
                                 tensors=tensors, allow_fullcov=allow_fc)
                             fused.collect_fused(fch, stats, sel=d2)
 
@@ -581,7 +625,7 @@ def _run_waves_fused(dev, engine, cands, tpls, buckets, opts: CnsOptions,
         b.weights, b.covten = tensors[bi]
 
 
-def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
+def _correct_supergroup(store, engines, cands, groups, sg_ids,
                         opts: CnsOptions,
                         template_cuts: dict | None = None,
                         id_map: np.ndarray | None = None) -> List[CnsRecord]:
@@ -599,7 +643,8 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
     with timed("cns.bucket_setup"):
         for bi in range(0, n_sg, TB):
             ids = sg_ids[bi:bi + TB]
-            b = _Bucket(store, ids, TB, D)
+            b = _Bucket(store, ids, TB, D,
+                        device=engines[len(buckets) % len(engines)].device)
             buckets.append(b)
             for row in range(b.n_real):
                 tid = int(b.ids[row])
@@ -608,11 +653,9 @@ def _correct_supergroup(store, dev, engine, cands, groups, sg_ids,
 
     st = _SelState(tpls)
     if fused_mode(opts):
-        _run_waves_fused(dev, engine, cands, tpls, buckets, opts, st,
-                         local_ids)
+        _run_waves_fused(engines, cands, tpls, buckets, opts, st, local_ids)
     else:
-        _run_waves_legacy(dev, engine, cands, tpls, buckets, opts, st,
-                          local_ids)
+        _run_waves_legacy(engines, cands, tpls, buckets, opts, st, local_ids)
 
     # ---------------- consensus call + bit-packed download + host compaction
     # 3-bit fields per delta fit int32 only up to D=10; the wide-delta path

@@ -265,6 +265,10 @@ def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
                   tail_match: int = banded.TAIL_MATCH):
     """Dispatch one wave of pairs as fused chunks.
 
+    engine: one ExtendEngine, or a LIST of them (one per device) — chunks of
+    bucket g then run on engines[g % n] with the bucket's tensors pinned to
+    that engine's device (multi-chip correction: buckets are independent, so
+    this is pure data parallelism with no collectives).
     cutoffs: group -> f32[TB+1] device cutoff vector.
     tensors: group -> (weights, coverage); updated in place (donated through).
     When ibufs is given (round 0), ONLY the ident_pass runs for every chunk
@@ -273,6 +277,7 @@ def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
     0 and silently disable cutoff estimation. The caller reduces ibufs into
     cutoffs via cutoff_from_idents, then calls again without ibufs.
     Returns list of FusedChunk (empty for an ident pass)."""
+    engines = engine if isinstance(engine, (list, tuple)) else [engine]
     npairs = len(qids)
     if ibufs is not None and slots is None:
         raise ValueError("dispatch_wave(ibufs=...) requires per-pair slots")
@@ -281,27 +286,31 @@ def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
                  slot=(slots if slots is not None else zeros),
                  qe=(qend_cand if qend_cand is not None else zeros),
                  nc0=(nc0 if nc0 is not None else zeros))
-    planned = engine.plan(np.arange(npairs), qids, qdir, qsize, tg_base,
-                          tsize_full, aq, at_abs, W, groups=groups,
-                          extra_cols=extra)
+    planned = engines[0].plan(np.arange(npairs), qids, qdir, qsize, tg_base,
+                              tsize_full, aq, at_abs, W, groups=groups,
+                              extra_cols=extra)
     out_chunks = []
     for p in planned:
         desc = p["desc"]
         # the ws column must reflect THIS chunk's window starts
         desc[:p["n_real"], _C["ws"]] = p["ws"]
         g = p["group"]
+        eng = engines[g % len(engines)]
         with timed("cns.fused_dispatch"):
-            desc_j = jnp.asarray(desc)
+            if eng.device is not None:
+                desc_j = jax.device_put(desc, eng.device)
+            else:
+                desc_j = jnp.asarray(desc)
             if ibufs is not None:
                 ibufs[g], stats = ident_pass(
-                    engine.qdev.words, engine.sdev.words, desc_j, ibufs[g],
+                    eng.qdev.words, eng.sdev.words, desc_j, ibufs[g],
                     W=W, L=p["L"], tail_match=tail_match,
                     min_align_size=min_align_size,
                     good_end_margin=good_end_margin, cols_guard=cols_guard)
             else:
                 wts, cov = tensors[g]
                 wts, cov, stats = extend_scatter(
-                    engine.qdev.words, engine.sdev.words, desc_j, cutoffs[g],
+                    eng.qdev.words, eng.sdev.words, desc_j, cutoffs[g],
                     wts, cov, W=W, L=p["L"], tail_match=tail_match,
                     insb_words=insb_words, min_align_size=min_align_size,
                     mapping_ratio=mapping_ratio, allow_fullcov=allow_fullcov,

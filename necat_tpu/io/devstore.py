@@ -36,7 +36,10 @@ class DeviceReadStore:
       offsets: HOST int64[n_reads + 1] (row descriptors are built on host).
     """
 
-    def __init__(self, store: ReadStore):
+    def __init__(self, store: ReadStore, device=None):
+        """`device` pins the word buffer to a specific jax.Device — the
+        multi-device correction path replicates the packed store per device
+        and runs each template bucket's programs on its bucket's device."""
         if store.total_bases >= (1 << 31):
             raise ValueError("DeviceReadStore requires < 2^31 bases; "
                              "shard into volumes first (ReadStore.volumes)")
@@ -44,7 +47,11 @@ class DeviceReadStore:
         pad = (-len(words)) % 128
         if pad:
             words = np.concatenate([words, np.zeros(pad, np.uint32)])
-        self.words = jnp.asarray(words)
+        self.device = device
+        if device is not None:
+            self.words = jax.device_put(words, device)
+        else:
+            self.words = jnp.asarray(words)
         self.offsets = store.offsets.astype(np.int64)
 
     def gather(self, gstart: np.ndarray, glen: np.ndarray, rc: np.ndarray,

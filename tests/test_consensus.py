@@ -453,3 +453,21 @@ def test_fused_matches_legacy_fixed_cutoff():
     recs_a = correct_reads(rs, call, dataclasses_replace(co, fused=False))
     recs_b = correct_reads(rs, call, dataclasses_replace(co, fused=True))
     _assert_same_records(recs_a, recs_b)
+
+
+def test_multidevice_correction_matches_single(monkeypatch):
+    """Bucket-parallel correction over several devices (fused path routes
+    bucket b to device b % n) must reproduce single-device records exactly."""
+    import jax
+    if jax.local_device_count() < 2:
+        import pytest
+        pytest.skip("needs multiple (virtual) devices")
+    rs, call = _small_call(gseed=101, rseed=102)
+    co = CnsOptions(templates_per_batch=4, pairs_per_chunk=32,
+                    buckets_per_supergroup=2)
+    monkeypatch.setenv("NECAT_TPU_CNS_DEVICES", "1")
+    recs_a = correct_reads(rs, call, co)
+    monkeypatch.setenv("NECAT_TPU_CNS_DEVICES", "2")
+    recs_b = correct_reads(rs, call, co)
+    assert any(r.corrected for r in recs_a)
+    _assert_same_records(recs_a, recs_b)
