@@ -156,10 +156,11 @@ class ExtendEngine:
                 take = take[:np.argmin(keep)]  # cut at the first foreign pair
             cs += len(take)
             n_real = len(take)
-            PB = 8
-            while PB < n_real:
-                PB *= 2
-            PB = min(PB, PBmax)
+            # ALWAYS the tier's full chunk capacity: a per-chunk PB (next
+            # pow2 >= n_real) multiplied the executable count by ~7, and each
+            # distinct executable costs seconds of device load time through
+            # the tunnel — far more than the padded dead lanes cost
+            PB = PBmax
             with timed("ext.chunk_build"):
                 desc = np.zeros((PB, len(DESC_COLS) + n_extra), np.int32)
                 qi = qids[take]
@@ -208,16 +209,18 @@ class ExtendEngine:
                 with timed("ext.desc_upload"):
                     desc_j = jnp.asarray(desc)
                 with timed("ext.enqueue"):
+                    from necat_tpu.utils.device import tunnel_retry
                     if self.mesh is not None and PB % self.mesh.size == 0:
                         # pair rows data-parallel over the chip mesh
                         from necat_tpu.parallel.mesh import sharded_gather_extend_fn
                         fn = sharded_gather_extend_fn(self.mesh, W=W, L=L,
                                                       insb_words=insb_words)
-                        out = fn(self.qdev.words, self.sdev.words, desc_j)
+                        out = tunnel_retry(fn, self.qdev.words,
+                                           self.sdev.words, desc_j)
                     else:
-                        out = gather_extend(self.qdev.words, self.sdev.words,
-                                            desc_j, W=W, L=L,
-                                            insb_words=insb_words)
+                        out = tunnel_retry(gather_extend, self.qdev.words,
+                                           self.sdev.words, desc_j, W=W, L=L,
+                                           insb_words=insb_words)
                 with timed("ext.stats_copy_issue"):
                     try:
                         out["stats"].copy_to_host_async()

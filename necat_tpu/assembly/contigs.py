@@ -47,17 +47,29 @@ class AssemblyResult:
     max_overhang: int
 
 
-def path_to_contig(path: List[Arc], store: ReadStore) -> Tuple[np.ndarray, List[Tile]]:
+def path_to_contig(path: List[Arc], store: ReadStore,
+                   circular: bool = False) -> Tuple[np.ndarray, List[Tile]]:
     """Concatenate the path's oriented reads into a contig sequence + tiles.
 
     At each join, the previous read's unaligned tail (arc.trim_u, the overhang
     that end-clamping forgave) is dropped before appending the next read's
-    post-overlap segment, so junctions are exact."""
-    first = path[0].u
-    rid, orient = first // 2, first % 2
-    seq_parts = [store.get(rid, rc=bool(orient))]
-    tiles = [Tile(rid, orient, 0, len(seq_parts[0]))]
-    pos = len(seq_parts[0])
+    post-overlap segment, so junctions are exact.
+
+    `circular` (path closes on its start node): the first node's WHOLE read is
+    NOT prepended — the cycle's edge extension segments already sum to exactly
+    the cycle length, so prepending would duplicate the first read's span
+    (Assembly::ConstructContig start rule: the whole read is added only at
+    InDegree()==0 linear starts, src/fsa/assembly.cpp:367-379)."""
+    if circular:
+        seq_parts: List[np.ndarray] = []
+        tiles: List[Tile] = []
+        pos = 0
+    else:
+        first = path[0].u
+        rid, orient = first // 2, first % 2
+        seq_parts = [store.get(rid, rc=bool(orient))]
+        tiles = [Tile(rid, orient, 0, len(seq_parts[0]))]
+        pos = len(seq_parts[0])
     for a in path:
         if a.trim_u > 0:
             drop = a.trim_u
@@ -223,16 +235,21 @@ def assemble(
                         bubbles.append(alt_arcs)
         if not arcs:
             continue
-        seq, tiles = path_to_contig(arcs, store)
-        built.append((seq, tiles, bubbles))
+        # circular path: the walk closed back on its start vertex
+        # (path_graph.cpp:979 ctg_circular; assembly.cpp:240)
+        circular = len(arcs) > 1 and arcs[-1].v == arcs[0].u
+        seq, tiles = path_to_contig(arcs, store, circular=circular)
+        built.append((seq, tiles, bubbles, circular))
 
     built.sort(key=lambda t: -len(t[0]))
     seqs, names, all_tiles = [], [], []
     bseqs, bnames, btiles = [], [], []
-    for seq, tiles, bubbles in built:
+    for seq, tiles, bubbles, circular in built:
         if len(seq) < min_contig_length:
             continue
-        seq = trim_circular_overlap(seq)
+        if not circular:
+            # fallback for cycles the graph walk did not close cleanly
+            seq = trim_circular_overlap(seq)
         ci = len(seqs)
         names.append(f"ctg{ci}")
         seqs.append(seq)

@@ -109,22 +109,24 @@ def _extend(words_q, words_t, desc, W, L, tail_match, insb_words):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("W", "L", "tail_match", "insb_words", "min_align_size",
-                     "mapping_ratio", "allow_fullcov", "rescue_defer",
-                     "cols_guard"),
+    static_argnames=("W", "L", "tail_match", "insb_words"),
     donate_argnames=("weights", "coverage"))
-def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
-                   W: int, L: int, tail_match: int, insb_words: int,
-                   min_align_size: int, mapping_ratio: float,
-                   allow_fullcov: bool, rescue_defer: bool = False,
-                   cols_guard: bool = False):
+def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage,
+                   min_align_size, mapping_ratio, allow_fullcov,
+                   rescue_defer, cols_guard, *,
+                   W: int, L: int, tail_match: int, insb_words: int):
     """One whole correction chunk in one dispatch.
 
     desc: int32[PB, 15] (DESC_COLS + FUSED_EXTRA). cutoff: f32[TB+1]
     per-template identity cutoffs (device-resident). Returns (weights,
     coverage, stats) with stats int32[8, PB] =
     qoff, qend, toff(window), tend(window), n_cols, n_match, accepted,
-    deferred. Deferred lanes scatter nothing (see module docstring)."""
+    deferred. Deferred lanes scatter nothing (see module docstring).
+
+    min_align_size/mapping_ratio and the three mode flags are TRACED scalars
+    (not statics): on the tunnel-attached TPU every distinct executable costs
+    seconds of per-process device load, so the executable key must be
+    (PB, L, Lt, W, insb_words) only."""
     from necat_tpu.consensus import tags as tags_mod
     c, out = _extend(words_q, words_t, desc, W, L, tail_match, insb_words)
     TBp1 = weights.shape[0]
@@ -140,17 +142,14 @@ def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
     ok &= check_mapping_range(ql, qr, qs, tl, tr, ts, min_align_size,
                               mapping_ratio)
     pass_ident = ident >= cut
-    if allow_fullcov:
-        pass_ident |= is_full_cov_ovlp(ql, qr, qs, tl, tr, ts, 5000, 100)
+    pass_ident |= allow_fullcov & is_full_cov_ovlp(ql, qr, qs, tl, tr, ts,
+                                                   5000, 100)
     ok &= pass_ident
     ok &= (c["row"] >= 0) & (c["row"] < TB)
 
-    deferred = jnp.zeros(ok.shape, bool)
-    if rescue_defer:
-        hang = jnp.maximum(ql - c["aq"], 0) + jnp.maximum(c["qe"] - qr, 0)
-        deferred |= (hang > 200) & (c["row"] >= 0)
-    if cols_guard:
-        deferred |= (out["n_cols"] < c["nc0"]) & (c["row"] >= 0)
+    hang = jnp.maximum(ql - c["aq"], 0) + jnp.maximum(c["qe"] - qr, 0)
+    deferred = rescue_defer & (hang > 200) & (c["row"] >= 0)
+    deferred |= cols_guard & (out["n_cols"] < c["nc0"]) & (c["row"] >= 0)
     ok &= ~deferred
 
     w = jnp.where(ok, calc_cns_weight_jnp(ident), 0.0)
@@ -179,18 +178,18 @@ def extend_scatter(words_q, words_t, desc, cutoff, weights, coverage, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("W", "L", "tail_match", "min_align_size",
-                     "good_end_margin", "cols_guard"),
+    static_argnames=("W", "L", "tail_match"),
     donate_argnames=("ibuf",))
-def ident_pass(words_q, words_t, desc, ibuf, *, W: int, L: int,
-               tail_match: int, min_align_size: int, good_end_margin: int,
-               cols_guard: bool = False):
+def ident_pass(words_q, words_t, desc, ibuf, min_align_size,
+               good_end_margin, cols_guard, *, W: int, L: int,
+               tail_match: int):
     """Round-0 identity estimation pass: extend and record per-template
     (ident, good, span) triples into ibuf f32[TB+1, IDENT_SLOTS, 3] at
     (row, slot). Returns (ibuf, stats int32[6, PB]) — the stats feed the
     rescue hang check; no other host output. With cols_guard, a lane only
     overwrites its slot when it aligned >= nc0 columns (rescue wide re-pass
-    keeps the original entry for losing lanes)."""
+    keeps the original entry for losing lanes). Thresholds/flags are traced
+    (see extend_scatter)."""
     c, out = _extend(words_q, words_t, desc, W, L, tail_match, 1)
     TBp1 = ibuf.shape[0]
     S = ibuf.shape[1]
@@ -205,8 +204,7 @@ def ident_pass(words_q, words_t, desc, ibuf, *, W: int, L: int,
     span = (((qr - ql) >= 0.6 * qs) | ((tr - tl) >= 0.6 * ts)) & ok_align
     valid = (c["row"] >= 0) & (c["row"] < TBp1 - 1) & (c["slot"] >= 0) \
         & (c["slot"] < S)
-    if cols_guard:
-        valid &= out["n_cols"] >= c["nc0"]
+    valid &= (~cols_guard) | (out["n_cols"] >= c["nc0"])
     row = jnp.where(valid, c["row"], TBp1 - 1)
     slot = jnp.where(valid, c["slot"], S - 1)
     lin = row * S + slot
@@ -297,29 +295,40 @@ def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
         g = p["group"]
         eng = engines[g % len(engines)]
         with timed("cns.fused_dispatch"):
-            if eng.device is not None:
-                desc_j = jax.device_put(desc, eng.device)
-            else:
-                desc_j = jnp.asarray(desc)
-            if ibufs is not None:
-                ibufs[g], stats = ident_pass(
-                    eng.qdev.words, eng.sdev.words, desc_j, ibufs[g],
-                    W=W, L=p["L"], tail_match=tail_match,
-                    min_align_size=min_align_size,
-                    good_end_margin=good_end_margin, cols_guard=cols_guard)
-            else:
-                wts, cov = tensors[g]
-                wts, cov, stats = extend_scatter(
-                    eng.qdev.words, eng.sdev.words, desc_j, cutoffs[g],
-                    wts, cov, W=W, L=p["L"], tail_match=tail_match,
-                    insb_words=insb_words, min_align_size=min_align_size,
-                    mapping_ratio=mapping_ratio, allow_fullcov=allow_fullcov,
-                    rescue_defer=rescue_defer, cols_guard=cols_guard)
-                tensors[g] = (wts, cov)
-            try:
-                stats.copy_to_host_async()
-            except Exception:
-                pass
+            with timed("cns.fused_desc_up"):
+                if eng.device is not None:
+                    desc_j = jax.device_put(desc, eng.device)
+                else:
+                    desc_j = jnp.asarray(desc)
+            from necat_tpu.utils.device import tunnel_retry
+            with timed("cns.fused_call"):
+                if ibufs is not None:
+                    ibufs[g], stats = tunnel_retry(
+                        ident_pass,
+                        eng.qdev.words, eng.sdev.words, desc_j, ibufs[g],
+                        np.int32(min_align_size),
+                        np.int32(good_end_margin), np.bool_(cols_guard),
+                        W=W, L=p["L"], tail_match=tail_match)
+                else:
+                    wts, cov = tensors[g]
+                    wts, cov, stats = tunnel_retry(
+                        extend_scatter,
+                        eng.qdev.words, eng.sdev.words, desc_j, cutoffs[g],
+                        wts, cov, np.int32(min_align_size),
+                        np.float32(mapping_ratio), np.bool_(allow_fullcov),
+                        np.bool_(rescue_defer), np.bool_(cols_guard),
+                        W=W, L=p["L"], tail_match=tail_match,
+                        insb_words=insb_words)
+                    tensors[g] = (wts, cov)
+            with timed("cns.fused_stats_issue"):
+                try:
+                    stats.copy_to_host_async()
+                except Exception:
+                    pass
+            import os as _os
+            if _os.environ.get("NECAT_TPU_SYNC_DISPATCH"):
+                with timed(f"cns.fused_exec_L{p['L']}_PB{p['PB']}"):
+                    jax.block_until_ready(stats)
         from necat_tpu.utils import logging as _lg
         _lg._TIMERS["ext.lanes"] += p["PB"]
         _lg._TIMERS["ext.real_lanes"] += p["n_real"]

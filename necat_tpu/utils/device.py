@@ -27,6 +27,32 @@ def setup_runtime(cache_dir: str | None = None) -> None:
     _initialized = True
 
 
+def _is_transient_device_error(e: BaseException) -> bool:
+    s = str(e)
+    return any(t in s for t in ("remote_compile", "read body",
+                                "response body closed", "UNAVAILABLE",
+                                "DEADLINE_EXCEEDED", "Connection reset"))
+
+
+def tunnel_retry(fn, *args, _attempts: int = 3, **kw):
+    """Run a dispatch, retrying transient tunnel failures (the axon-attached
+    TPU compiles via an HTTP service — observed: 'remote_compile: read body:
+    response body closed before all bytes were read' killing hour-long runs).
+    Only errors matching known-transient signatures are retried."""
+    import time as _time
+
+    from necat_tpu.utils.logging import logger
+    for a in range(_attempts):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 — filtered by signature below
+            if a + 1 >= _attempts or not _is_transient_device_error(e):
+                raise
+            logger.warning("transient device error (attempt %d/%d): %s",
+                           a + 1, _attempts, str(e)[:200])
+            _time.sleep(2.0 * (a + 1))
+
+
 _warm_thread = None
 
 

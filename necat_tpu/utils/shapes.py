@@ -8,12 +8,16 @@ tier, so the extension kernel has exactly one shape per tier.
 
 from __future__ import annotations
 
-# sequence-length tiers (reads 3 kb - 40 kb + polish windows). Spacing ~1.25x
-# in the read range: the extension cost is linear in the tier length, and the
-# previous 4x jumps (8192 -> 32768) padded a 17 kb window with 90% dead cells.
-# All tiers are multiples of 2048 so every kernel block size divides them.
-LENGTH_TIERS = (2048, 4096, 6144, 8192, 10240, 12288, 16384, 20480, 24576,
-                32768, 40960, 49152, 65536, 98304, 131072, 262144)
+# sequence-length tiers (reads 3 kb - 40 kb + polish windows). POWER-OF-TWO
+# spacing on purpose: on the tunnel-attached TPU, LOADING a compiled
+# executable into the device costs seconds (measured 5-10 s each, per
+# process, even on persistent-cache hits) — with the earlier ~1.25x tier
+# ladder the correction stage juggled 40-60 executable variants and spent
+# ~10x more wall on program loads than on execution. Fewer, coarser tiers
+# trade ≤2x padded cells (linear cost, ~100 ms/chunk) for ~10 executables
+# total. All tiers are multiples of 2048 so every kernel block size divides
+# them.
+LENGTH_TIERS = (2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144)
 
 # dirs-buffer budget for the banded aligner: PB * L * W bytes (uint8 dirs +
 # uint8 sub-matrix each this size; 16 GB HBM on v5e leaves ample headroom, and

@@ -17,3 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# The XLA CPU client segfaults deep into long multi-module runs (reproduced
+# twice at the same test, which passes in isolation) — compiled-executable /
+# buffer state accumulated across modules is the trigger. Dropping the jit
+# caches between modules keeps the client healthy and bounds memory.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -82,6 +82,7 @@ def test_transitive_reduction():
     assert (vertex(0, 0), vertex(2, 0)) in reduced
 
 
+@pytest.mark.slow
 def test_assembly_end_to_end():
     G = 60000
     genome = simulate.random_genome(G, seed=8)
@@ -122,6 +123,7 @@ def test_assembly_end_to_end():
     assert res.tiles[0][0].ctg_start == 0
 
 
+@pytest.mark.slow
 def test_assemble_dump_snapshots(tmp_path):
     """--dump role: graph snapshots + filtered reads (assembly.cpp:126-146)."""
     from necat_tpu.assembly.contigs import assemble
@@ -162,3 +164,29 @@ def test_trim_circular_overlap():
     # non-circular contig untouched
     lin = simulate.mutate(G, em, rng)
     assert len(trim_circular_overlap(lin)) == len(lin)
+
+
+@pytest.mark.slow
+def test_circular_genome_no_duplicated_wrap():
+    """A contig walking a CIRCULAR genome must not re-emit its first read:
+    the cycle's edge segments sum to the cycle length (assembly.cpp:367-379
+    start rule). Round-2 parity showed +21 kb duplication here."""
+    from necat_tpu.io import simulate
+    from necat_tpu.overlap.options import MapOptions
+    from necat_tpu.overlap.overlapper import overlap_all_vs_all
+
+    G = 60000
+    genome = simulate.random_genome(G, seed=71)
+    reads, *_ = simulate.simulate_reads(
+        genome, coverage=14, mean_len=8000, min_len=6000, max_len=10000,
+        em=simulate.ErrorModel(0.01, 0.01, 0.01), seed=72, circular=True)
+    rs = ReadStore.from_seqs(reads)
+    m4 = overlap_all_vs_all(
+        rs, MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=8192,
+                       ncan=100))
+    res = assemble(rs, m4, FilterOptions())
+    assert res.contigs.n_reads >= 1
+    main_len = int(res.contigs.lengths.max())
+    # within 5% of the true cycle length — NOT genome + one read (+13%)
+    assert main_len <= G * 1.05, f"contig {main_len} vs genome {G}"
+    assert main_len >= G * 0.9, f"contig {main_len} vs genome {G}"

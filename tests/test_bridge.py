@@ -36,6 +36,7 @@ def test_find_links_respects_end_window():
     assert len(links) == 0
 
 
+@pytest.mark.slow
 def test_bridge_contigs_end_to_end():
     """Genome split into two contigs with a gap; raw reads spanning the gap
     must merge them into one bridged contig."""
@@ -78,6 +79,7 @@ def test_bridge_no_links_keeps_contigs():
     assert sorted(out.lengths.tolist()) == [4000, 5000]
 
 
+@pytest.mark.slow
 def test_repeat_guard_avoids_chimeric_join():
     """A repeat contig R with true adjacencies A-R-B and C-R-D: per-end greedy
     support would chain A->R->D (a chimera) when A->R and R->D happen to have

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -151,6 +152,7 @@ def test_top_n_per_query():
     assert set(out.sid[out.qid == 1].tolist()) == {11, 12}
 
 
+@pytest.mark.slow
 def test_volume_tiled_overlaps_match_single_volume():
     from necat_tpu.overlap.overlapper import overlap_all_vs_all
     from necat_tpu.io.readstore import ReadStore

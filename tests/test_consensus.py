@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -114,6 +115,7 @@ def test_helper_predicates():
     assert not check_mapping_range(0, 300, 5000, 0, 300, 5000, 400, 0.8)
 
 
+@pytest.mark.slow
 def test_correction_end_to_end_small():
     G = 30000
     genome = simulate.random_genome(G, seed=21)
@@ -273,6 +275,7 @@ def test_consensus_stream_matches_dense_compaction():
             np.testing.assert_array_equal(q1, q2)
 
 
+@pytest.mark.slow
 def test_full_consensus_stitches_whole_read():
     """-f 1 (consensus_unbroken, cbcns.c:171-252): one whole output read with
     consensus fragments joined by raw template gaps."""
@@ -305,6 +308,7 @@ def test_full_consensus_stitches_whole_read():
     assert sum(1 for r in recs if r.corrected) >= rs.n_reads * 0.5
 
 
+@pytest.mark.slow
 def test_mm_scatter_wide_delta_matches_oracle():
     """words=3 insb channels (the polish u16-delta capacity): the MXU scatter
     must reproduce the query-axis oracle for insertion runs longer than 7."""
@@ -361,6 +365,7 @@ def test_mm_scatter_wide_delta_matches_oracle():
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_small_memory_mode_matches_default():
     """SMALL_MEMORY (oc2cns -s): per-supergroup device stores must produce
     byte-identical corrected output."""
@@ -420,6 +425,7 @@ def _assert_same_records(recs_a, recs_b):
         np.testing.assert_array_equal(a.seq, b.seq)
 
 
+@pytest.mark.slow
 def test_fused_matches_legacy():
     """The fused single-dispatch path (consensus/fused.py) must produce
     records identical to the legacy two-program oracle flow."""
@@ -432,6 +438,7 @@ def test_fused_matches_legacy():
     _assert_same_records(recs_a, recs_b)
 
 
+@pytest.mark.slow
 def test_fused_matches_legacy_rescue():
     """Same equality with the long-indel rescue cascade enabled (the fused
     path runs it by deferral + replay; consensus_aux.c:152-213)."""
@@ -444,6 +451,7 @@ def test_fused_matches_legacy_rescue():
     _assert_same_records(recs_a, recs_b)
 
 
+@pytest.mark.slow
 def test_fused_matches_legacy_fixed_cutoff():
     """Fixed-cutoff mode (-u 1) skips round 0 entirely in both paths."""
     rs, call = _small_call(gseed=77, rseed=78)
@@ -455,6 +463,7 @@ def test_fused_matches_legacy_fixed_cutoff():
     _assert_same_records(recs_a, recs_b)
 
 
+@pytest.mark.slow
 def test_multidevice_correction_matches_single(monkeypatch):
     """Bucket-parallel correction over several devices (fused path routes
     bucket b to device b % n) must reproduce single-device records exactly."""

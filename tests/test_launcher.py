@@ -1,3 +1,4 @@
+import pytest
 """Multi-host launcher tests (parallel/launcher.py).
 
 Real multi-controller runs need multiple processes; here we verify the pieces
@@ -37,6 +38,7 @@ def test_init_multihost_single_process(monkeypatch):
     launcher.barrier("noop")                      # single-process no-op
 
 
+@pytest.mark.slow
 def test_correct_reads_stripe_union_matches_full():
     genome = simulate.random_genome(20000, seed=5)
     reads, st, sd, ln = simulate.simulate_reads(

@@ -7,6 +7,7 @@ divergence AND both must recover the true template.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from necat_tpu.align.banded import (banded_forward, banded_traceback,
                                     clip_tail, ops_to_cols, OP_DIAG, OP_DEL,
@@ -30,6 +31,7 @@ def test_tags_from_ops_hand_case():
     assert tags[4] == (3, 0, GAP, 2, 0, 2, 1.0)
 
 
+@pytest.mark.slow
 def test_linkdp_recovers_template_and_matches_majority():
     rng = np.random.default_rng(5)
     G = 1500

@@ -38,6 +38,7 @@ OPTS = MapOptions(kmer_size=13, max_hits=1 << 17, max_pairs=4096,
                   chain_min_score=20, align_size_cutoff=300)
 
 
+@pytest.mark.slow
 def test_sharded_candidates_match_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide the virtual mesh"
     rs = _dataset()
@@ -51,6 +52,7 @@ def test_sharded_candidates_match_single_device():
     assert _cand_set(sharded) == _cand_set(single)
 
 
+@pytest.mark.slow
 def test_sharded_extension_matches_single_device():
     rs = _dataset(seed=23)
     from necat_tpu.index.kmer_index import KmerIndex
@@ -80,6 +82,7 @@ def test_sharded_extension_matches_single_device():
     np.testing.assert_allclose(m4_sharded.ident, m4_single.ident, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_overlap_all_vs_all_stage_on_mesh():
     """The ACTUAL stage function on the mesh equals the single-device run."""
     rs = _dataset(seed=31)

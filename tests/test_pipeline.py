@@ -25,6 +25,7 @@ def test_parse_genome_size():
     assert config_mod.parse_genome_size("120k") == 120000
 
 
+@pytest.mark.slow
 def test_pipeline_assemble_end_to_end(tmp_path):
     G = 20000
     genome = simulate.random_genome(G, seed=77)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from necat_tpu.io import simulate, seqio
 from necat_tpu.io.readstore import ReadStore
@@ -25,6 +26,7 @@ def test_split_contigs_halo():
     np.testing.assert_array_equal(segs.get(1), rs.get(0)[8000:22000])
 
 
+@pytest.mark.slow
 def test_polish_improves_draft():
     rng = np.random.default_rng(3)
     truth = simulate.random_genome(30000, seed=4)
@@ -52,6 +54,7 @@ def test_polish_improves_draft():
     assert after >= 99.0, f"polished identity {after:.2f}"
 
 
+@pytest.mark.slow
 def test_polish_fixes_planted_long_insertion():
     """A contig missing a 20 bp chunk (every read shows a 20 bp insertion run)
     must be repaired — the reference built u16 deltas for exactly this
@@ -95,6 +98,7 @@ def test_polish_fixes_planted_long_insertion():
     assert ed_c <= 4, f"insertion region not restored (ed {ed_c} vs draft {ed_d})"
 
 
+@pytest.mark.slow
 def test_polish_no_seam_identity_dip():
     """Window seams must not show an identity dip: the halo gives boundary
     reads full alignment context and pieces are cut exactly at core edges."""
@@ -119,6 +123,7 @@ def test_polish_no_seam_identity_dip():
         assert d <= 24, f"seam {seam}: {d} edits in a 2.4 kb window"
 
 
+@pytest.mark.slow
 def test_unique_placement_filter():
     """filter_m4 role: with one contig the filter is a no-op (byte-identical
     output); with a duplicated contig the ambiguous reads are dropped."""

@@ -6,6 +6,7 @@ short of the chain-predicted query range; asm_pm retries with a sensitive
 aligner. Here the retry is the same banded kernel with a 4x wider band."""
 
 import numpy as np
+import pytest
 
 from necat_tpu.io.readstore import ReadStore
 from necat_tpu.overlap.candidates import Candidates
@@ -64,6 +65,7 @@ def test_rescue_keeps_better_original():
     assert int(a.qoff[0]) == int(b.qoff[0]) and int(a.qend[0]) == int(b.qend[0])
 
 
+@pytest.mark.slow
 def test_consensus_rescue_smoke():
     """correct_reads with rescue_long_indels on runs end to end."""
     from necat_tpu.consensus.correct import correct_reads

@@ -81,6 +81,7 @@ def test_chimeric_pair_check_case_ii():
     assert r != 0
 
 
+@pytest.mark.slow
 def test_trim_end_to_end_with_chimera():
     G = 40000
     genome = simulate.random_genome(G, seed=31)
@@ -148,6 +149,7 @@ def test_tools_cli(tmp_path, capsys):
     assert ReadStore.from_fasta(out).total_bases >= 20000 * 0.9
 
 
+@pytest.mark.slow
 def test_trim_accurate_reconsensus():
     """TRIM_METHOD=accurate (trim_bases_accurate): outputs are CONSENSUS
     sequences over the cover range — identity to the genome must beat the raw
