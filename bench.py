@@ -119,13 +119,23 @@ def main() -> int:
     mopts = MapOptions()
     if "BENCH_MAX_HITS" in os.environ:
         mopts = MapOptions(max_hits=int(os.environ["BENCH_MAX_HITS"]))
-    t0 = time.time()
-    with timed("bench.candidates"):
-        cands = find_all_candidates(store, store, mopts, pairwise=True)
-        call = Candidates.concat([cands, cands.swap_roles()])
-    with timed("bench.correct"):
-        recs = correct_reads(store, call, CnsOptions())
-    wall = time.time() - t0
+
+    # Two passes: the first pays one-time per-process costs that are artifacts
+    # of the tunnel-attached device (5-10 s PER EXECUTABLE to load compiled
+    # programs into the device, even on persistent-cache hits — a local
+    # PCIe-attached TPU loads in ~ms). The SECOND pass is the steady-state
+    # production rate and is the headline; cold wall is reported alongside.
+    passes = int(os.environ.get("BENCH_PASSES", 2))
+    walls = []
+    for _ in range(max(passes, 1)):
+        t0 = time.time()
+        with timed("bench.candidates"):
+            cands = find_all_candidates(store, store, mopts, pairwise=True)
+            call = Candidates.concat([cands, cands.swap_roles()])
+        with timed("bench.correct"):
+            recs = correct_reads(store, call, CnsOptions())
+        walls.append(time.time() - t0)
+    wall = walls[-1]
     ncorr = len({r.tid for r in recs if r.corrected})
     reads_per_s = ncorr / wall
 
@@ -145,6 +155,7 @@ def main() -> int:
         "vs_baseline": vs,
         "corrected_reads": ncorr,
         "wall_s": round(wall, 1),
+        "cold_wall_s": round(walls[0], 1),
         "accuracy_ident_pct": accuracy_sample(recs, reads, genome, st, sd, ln),
         "pallas_check": pallas_check,
         "device": str(jax.devices()[0]),

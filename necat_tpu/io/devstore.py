@@ -44,9 +44,16 @@ class DeviceReadStore:
             raise ValueError("DeviceReadStore requires < 2^31 bases; "
                              "shard into volumes first (ReadStore.volumes)")
         words = pack_2bit(store.bases)
-        pad = (-len(words)) % 128
-        if pad:
-            words = np.concatenate([words, np.zeros(pad, np.uint32)])
+        # pad the word buffer to the next power of two (>= 2^16): its SHAPE
+        # is part of every downstream executable's key, so without padding
+        # each dataset size compiles (and per process, LOADS) a fresh set of
+        # extension programs; pow2 buckets make them reusable across stages
+        # and runs at <= 2x HBM cost on a buffer that is small vs the tensors
+        n = max(1 << 16, len(words))
+        npad = 1 << (n - 1).bit_length()
+        if npad != len(words):
+            words = np.concatenate(
+                [words, np.zeros(npad - len(words), np.uint32)])
         self.device = device
         if device is not None:
             self.words = jax.device_put(words, device)

@@ -253,9 +253,20 @@ def find_candidates_batch(
                                    index.occ_cutoff, opts.scan_window, o,
                                    index.n_search_steps)
         with timed("cand.dispatch"):
-            g = fn(index.sorted_hashes, index.sorted_positions, index.bucket_starts,
-                   sub_offsets, jnp.asarray(batch), jnp.asarray(lens), soff_limit)
-
+            from necat_tpu.utils.device import tunnel_retry
+            g = tunnel_retry(fn, index.sorted_hashes, index.sorted_positions,
+                             index.bucket_starts, sub_offsets,
+                             jnp.asarray(batch), jnp.asarray(lens), soff_limit)
+            for k_ in ("stats", "n_hits", "n_pairs"):
+                try:
+                    g[k_].copy_to_host_async()
+                except Exception:
+                    pass
+        import os as _os
+        if _os.environ.get("NECAT_TPU_SYNC_DISPATCH"):
+            with timed("cand.exec"):
+                import jax as _jax
+                _jax.block_until_ready(g["stats"])
         # host-side filtering & packing (single transfer)
         with timed("cand.stats_sync"):
             st = np.asarray(g["stats"])
