@@ -57,6 +57,20 @@ class KmerIndex:
     def n_kmers(self) -> int:
         return int(self.sorted_hashes.shape[0])
 
+    @property
+    def avg_multiplicity(self) -> float:
+        """Mean positions per distinct k-mer (~ dataset coverage); used to
+        pre-size the hit/pair buffers so the first batches don't walk the
+        escalation ladder (each step recompiles the candidate program)."""
+        if not hasattr(self, "_mult"):
+            import numpy as _np
+            sh = self.sorted_hashes
+            distinct = int(_np.asarray(
+                (sh[1:] != sh[:-1]).sum())) + 1 if self.n_kmers else 1
+            object.__setattr__(self, "_mult",
+                               self.n_kmers / max(distinct, 1))
+        return self._mult
+
     @classmethod
     def build(
         cls,

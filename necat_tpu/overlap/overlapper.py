@@ -71,6 +71,23 @@ def find_all_candidates(
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     hits_cap = [opts.max_hits, opts.max_pairs]
+    if index is not None and qstore.n_reads:
+        # pre-size the hit/pair buffers from the index's k-mer multiplicity
+        # (~coverage): every escalation step recompiles the candidate
+        # program, which costs minutes through the remote compile service
+        mult = index.avg_multiplicity
+        avg_len = float(qstore.total_bases) / qstore.n_reads
+        est_hits = (query_batch_size * avg_len / max(opts.scan_window, 1)
+                    * mult * 1.5)
+        est_pairs = query_batch_size * mult * 8
+
+        def pow2ceil(x):
+            return 1 << max(int(x) - 1, 1).bit_length()
+
+        hits_cap[0] = int(min(max(opts.max_hits, pow2ceil(est_hits)),
+                              opts.max_hits_ceiling))
+        hits_cap[1] = int(min(max(opts.max_pairs, pow2ceil(est_pairs)),
+                              1 << 17))
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
     order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]
