@@ -554,6 +554,7 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                     engines, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
                     allow_fullcov=False, slots=slots, ibufs=ibufs)
                 if rescue:
+                    fused.release_bufs(ich)
                     s0 = fused.new_fused_stats(npairs)
                     fused.collect_fused(ich, s0)
                     lhang = np.maximum(s0["qoff"] - cands.qbeg[p_ci], 0)
@@ -566,6 +567,7 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                             tensors=tensors, allow_fullcov=False,
                             slots=slots[bad], ibufs=ibufs,
                             nc0=s0["n_cols"][bad], cols_guard=True)
+                        fused.release_bufs(wch)
                         s1 = fused.new_fused_stats(npairs)
                         fused.collect_fused(wch, s1, sel=bad)
                         keep_wide[bad] = s1["n_cols"][bad] >= s0["n_cols"][bad]
@@ -575,7 +577,13 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
 
         stats = fused.new_fused_stats(npairs)
         with timed("cns.extend_pairs_total"):
-            if keep_wide is not None:
+            if round_id == 0 and not rescue:
+                # scatter the ident chunks from their retained buffers: no
+                # re-extension (round 0 was ~37% of extension lanes at scale)
+                fused.scatter_round0(engines, ich, cutoffs, tensors,
+                                     opts.min_align_size, opts.mapping_ratio)
+                fused.collect_fused(ich, stats)
+            elif keep_wide is not None:
                 # round 0 + rescue: the per-lane band is already decided
                 nw = np.flatnonzero(~keep_wide)
                 wv = np.flatnonzero(keep_wide)

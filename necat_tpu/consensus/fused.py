@@ -212,7 +212,56 @@ def ident_pass(words_q, words_t, desc, ibuf, min_align_size,
     flat = flat.at[lin, 0].set(jnp.where(valid, ident, 0.0))
     flat = flat.at[lin, 1].set(jnp.where(valid, good, False).astype(jnp.float32))
     flat = flat.at[lin, 2].set(jnp.where(valid, span, False).astype(jnp.float32))
-    return flat.reshape(ibuf.shape), out["stats"]
+    # the per-column encodings stay device-resident so accept_scatter can
+    # scatter this chunk after the cutoffs are known WITHOUT re-extending
+    # (round 0 was ~37% of all extension lanes at E. coli scale)
+    bufs = {k_: out[k_] for k_ in
+            ("left_cols", "left_insb", "left_lead", "left_leadb", "left_jc",
+             "right_cols", "right_insb", "right_lead", "right_leadb",
+             "right_jc")}
+    return flat.reshape(ibuf.shape), out["stats"], bufs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(),
+    donate_argnames=("weights", "coverage"))
+def accept_scatter(desc, stats6, cutoff, weights, coverage,
+                   left_cols, left_insb, left_lead, left_leadb, left_jc,
+                   right_cols, right_insb, right_lead, right_leadb, right_jc,
+                   min_align_size, mapping_ratio):
+    """Round-0 acceptance + tag scatter over an ident_pass chunk's RETAINED
+    buffers (no re-extension; allow_fullcov is always False in round 0,
+    consensus_one_read.c:273-278). Returns (weights, coverage, stats8)."""
+    from necat_tpu.consensus import tags as tags_mod
+    c = {k: desc[:, i] for k, i in _C.items() if i < desc.shape[1]}
+    TBp1 = weights.shape[0]
+    TB = TBp1 - 1
+    ql, qr = stats6[0], stats6[1]
+    tl = stats6[2] + c["ws"]
+    tr = stats6[3] + c["ws"]
+    n_cols, n_match = stats6[4], stats6[5]
+    qs = c["qlen"]
+    ts = c["tsfull"]
+    ident = jnp.where(n_cols > 0,
+                      100.0 * n_match / jnp.maximum(n_cols, 1), 0.0)
+    cut = cutoff[jnp.clip(c["row"], 0, TB)]
+    ok = n_cols >= min_align_size
+    ok &= check_mapping_range(ql, qr, qs, tl, tr, ts, min_align_size,
+                              mapping_ratio)
+    ok &= ident >= cut
+    ok &= (c["row"] >= 0) & (c["row"] < TB)
+    w = jnp.where(ok, calc_cns_weight_jnp(ident), 0.0)
+    row_eff = jnp.where(ok, c["row"], TB).astype(jnp.int32)
+    at_abs = (c["at"] + c["ws"]).astype(jnp.int32)
+    weights, coverage = tags_mod.scatter_chunk_mm(
+        weights, coverage,
+        left_cols, (left_insb,), left_lead, left_leadb, left_jc,
+        right_cols, (right_insb,), right_lead, right_leadb, right_jc,
+        at_abs, row_eff, w, ts.astype(jnp.int32))
+    stats = jnp.concatenate([stats6, ok.astype(jnp.int32)[None, :],
+                             jnp.zeros((1, ok.shape[0]), jnp.int32)], axis=0)
+    return weights, coverage, stats
 
 
 @functools.partial(jax.jit, static_argnames=("n_ident",))
@@ -301,9 +350,10 @@ def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
                 else:
                     desc_j = jnp.asarray(desc)
             from necat_tpu.utils.device import tunnel_retry
+            bufs = None
             with timed("cns.fused_call"):
                 if ibufs is not None:
-                    ibufs[g], stats = tunnel_retry(
+                    ibufs[g], stats, bufs = tunnel_retry(
                         ident_pass,
                         eng.qdev.words, eng.sdev.words, desc_j, ibufs[g],
                         np.int32(min_align_size),
@@ -334,22 +384,67 @@ def dispatch_wave(engine, *, qids, qdir, qsize, tg_base, tsize_full, aq,
         _lg._TIMERS["ext.real_lanes"] += p["n_real"]
         _lg._TIMERS["ext.cell_Mlanes"] += p["PB"] * p["L"] / 1e6
         out_chunks.append(FusedChunk(stats, p["take"], p["n_real"], p["ws"],
-                                     g))
+                                     g, bufs=bufs, desc_dev=desc_j))
     return out_chunks
+
+
+_BUF_ORDER = ("left_cols", "left_insb", "left_lead", "left_leadb", "left_jc",
+              "right_cols", "right_insb", "right_lead", "right_leadb",
+              "right_jc")
+
+
+def scatter_round0(engine, chunks, cutoffs: dict, tensors: dict,
+                   min_align_size: int, mapping_ratio: float) -> None:
+    """Scatter round-0 ident chunks from their RETAINED buffers once the
+    device cutoffs exist (no re-extension, no host sync; non-rescue path).
+    Updates tensors in place and swaps each chunk's stats for the 8-row form
+    (with the accepted flag)."""
+    from necat_tpu.utils.device import tunnel_retry
+    engines = engine if isinstance(engine, (list, tuple)) else [engine]
+    for ch in chunks:
+        g = ch.group
+        eng = engines[g % len(engines)]
+        del eng  # placement follows the committed buffers
+        wts, cov = tensors[g]
+        with timed("cns.fused_dispatch"):
+            with timed("cns.fused_call"):
+                wts, cov, st = tunnel_retry(
+                    accept_scatter, ch.desc_dev, ch.stats_dev, cutoffs[g],
+                    wts, cov, *[ch.bufs[k] for k in _BUF_ORDER],
+                    np.int32(min_align_size), np.float32(mapping_ratio))
+            tensors[g] = (wts, cov)
+            ch.stats_dev = st
+            ch.bufs = None
+            ch.desc_dev = None
+            try:
+                st.copy_to_host_async()
+            except Exception:
+                pass
+
+
+def release_bufs(chunks) -> None:
+    for ch in chunks:
+        ch.bufs = None
+        ch.desc_dev = None
 
 
 class FusedChunk:
     """Stats handle of one fused dispatch (same collect interface role as
-    ExtChunk, but holds no alignment buffers)."""
+    ExtChunk). Ident-pass chunks also retain their per-column buffers until
+    scatter_round0 consumes them."""
 
-    __slots__ = ("stats_dev", "sel", "n_real", "ws", "group")
+    __slots__ = ("stats_dev", "sel", "n_real", "ws", "group", "bufs",
+                 "desc_dev")
 
-    def __init__(self, stats_dev, sel, n_real, ws, group):
+    def __init__(self, stats_dev, sel, n_real, ws, group, bufs=None,
+                 desc_dev=None):
         self.stats_dev = stats_dev
         self.sel = sel
         self.n_real = n_real
         self.ws = ws
         self.group = group
+        self.bufs = bufs
+        self.desc_dev = desc_dev
 
 
 def new_fused_stats(n_pairs: int) -> dict:
