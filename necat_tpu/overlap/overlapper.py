@@ -70,24 +70,15 @@ def find_all_candidates(
         qdev = DeviceReadStore(qstore)
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
-    hits_cap = [opts.max_hits, opts.max_pairs]
-    if index is not None and qstore.n_reads:
-        # pre-size the hit/pair buffers from the index's k-mer multiplicity
-        # (~coverage): every escalation step recompiles the candidate
-        # program, which costs minutes through the remote compile service
-        mult = index.avg_multiplicity
-        avg_len = float(qstore.total_bases) / qstore.n_reads
-        est_hits = (query_batch_size * avg_len / max(opts.scan_window, 1)
-                    * mult * 1.5)
-        est_pairs = query_batch_size * mult * 8
-
-        def pow2ceil(x):
-            return 1 << max(int(x) - 1, 1).bit_length()
-
-        hits_cap[0] = int(min(max(opts.max_hits, pow2ceil(est_hits)),
-                              opts.max_hits_ceiling))
-        hits_cap[1] = int(min(max(opts.max_pairs, pow2ceil(est_pairs)),
-                              1 << 17))
+    # start from the caps previous calls in this process escalated to: every
+    # escalation step recompiles the candidate program (minutes through the
+    # remote compile service), so later passes/iterations should not re-walk
+    # the ladder. (A k-mer-multiplicity estimate was tried and mispredicts:
+    # error k-mers dominate the distinct count.)
+    ck = (opts.kmer_size, opts.scan_window, query_batch_size)
+    learned = _LEARNED_CAPS.get(ck)
+    hits_cap = [max(opts.max_hits, learned[0]) if learned else opts.max_hits,
+                max(opts.max_pairs, learned[1]) if learned else opts.max_pairs]
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
     order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]
@@ -117,9 +108,14 @@ def find_all_candidates(
                         hits_cap=hits_cap))
         if progress:
             progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")
+    _LEARNED_CAPS[ck] = (hits_cap[0], hits_cap[1])
     with timed("cand.topn"):
         cands = Candidates.concat(parts)
         return top_n_per_query(cands, opts.ncan)
+
+
+# caps learned by escalation, reused by later calls in this process
+_LEARNED_CAPS: dict = {}
 
 
 def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, np.ndarray]:
