@@ -127,7 +127,12 @@ def main() -> int:
     # production rate and is the headline; cold wall is reported alongside.
     passes = int(os.environ.get("BENCH_PASSES", 2))
     walls = []
-    for _ in range(max(passes, 1)):
+    snaps = []
+    for p_ in range(max(passes, 1)):
+        if p_ == passes - 1 and os.environ.get("BENCH_SYNC_LAST_PASS"):
+            # profiling aid: serialize dispatches on the last pass so the
+            # per-chunk exec timers (cns.fused_exec_*) capture device time
+            os.environ["NECAT_TPU_SYNC_DISPATCH"] = "1"
         t0 = time.time()
         with timed("bench.candidates"):
             cands = find_all_candidates(store, store, mopts, pairwise=True)
@@ -135,7 +140,17 @@ def main() -> int:
         with timed("bench.correct"):
             recs = correct_reads(store, call, CnsOptions())
         walls.append(time.time() - t0)
+        snaps.append({k: v for k, (v, _) in timing_report().items()})
     wall = walls[-1]
+    # last-pass-only timer deltas: the steady-state breakdown (cumulative
+    # timers fold the cold pass's one-time executable loads into every key)
+    steady = {}
+    if len(snaps) >= 2:
+        prev = snaps[-2]
+        steady = {k: round(v - prev.get(k, 0.0), 2)
+                  for k, v in snaps[-1].items()
+                  if v - prev.get(k, 0.0) >= 0.01}
+        steady = dict(sorted(steady.items(), key=lambda kv: -kv[1]))
     ncorr = len({r.tid for r in recs if r.corrected})
     reads_per_s = ncorr / wall
 
@@ -161,6 +176,7 @@ def main() -> int:
         "device": str(jax.devices()[0]),
         "dataset": f"synthetic {genome_size/1e3:.0f}kb x{coverage:.0f} ONT@15%err",
         "breakdown": breakdown,
+        "breakdown_steady": steady,
     }))
     # the JSON summary must be the LAST stdout line (the driver tails stdout);
     # timing dumps go to stderr (utils/logging.py)

@@ -88,7 +88,7 @@ class ExtendEngine:
     are async; read chunk.stats() to sync a chunk.
     """
 
-    def __init__(self, qdev, sdev, pairs_per_chunk: int = 512, mesh=None):
+    def __init__(self, qdev, sdev, pairs_per_chunk: int = 1024, mesh=None):
         from necat_tpu.parallel import mesh as pmesh
         self.qdev = qdev
         self.sdev = sdev

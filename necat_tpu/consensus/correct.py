@@ -166,10 +166,14 @@ def correct_reads(
     order = np.argsort(-lens[tids_all], kind="stable")
     tids_sorted = tids_all[order]
     TB = opts.templates_per_batch
-    SG = TB * opts.buckets_per_supergroup
-    from necat_tpu.io.devstore import DeviceReadStore
+    from necat_tpu.io.devstore import get_devstore
     small_memory = opts.small_memory or store.total_bases >= (1 << 31)
     devices = _correction_devices() if fused_mode(opts) else [None]
+    # one bucket per correction device unless pinned (buckets are the unit of
+    # multi-chip data parallelism; on one chip a single merged bucket keeps
+    # every chunk tier-mix-only — 4 small buckets ran 60%-full lanes)
+    nb = opts.buckets_per_supergroup or max(1, len(devices))
+    SG = TB * nb
     engines = None
     if not small_memory and len(tids_sorted):
         with timed("cns.devstore_init"):
@@ -177,7 +181,7 @@ def correct_reads(
             # buckets run round-robin on the devices (no collectives — the
             # reference's per-node partition stripes, consensus/main.c:71-73)
             engines = [ExtendEngine(d, d, opts.pairs_per_chunk)
-                       for d in (DeviceReadStore(store, device=dv)
+                       for d in (get_devstore(store, device=dv)
                                  for dv in devices)]
     for s in range(0, len(tids_sorted), SG):
         sg_ids = tids_sorted[s:s + SG]
@@ -191,7 +195,7 @@ def correct_reads(
             sub = store.subset(ids)
             with timed("cns.devstore_init"):
                 sg_engines = [ExtendEngine(d, d, opts.pairs_per_chunk)
-                              for d in (DeviceReadStore(sub, device=dv)
+                              for d in (get_devstore(sub, device=dv)
                                         for dv in devices)]
             id_map = ids
         else:
@@ -682,9 +686,15 @@ def _correct_supergroup(store, engines, cands, groups, sg_ids,
                                       opts.min_cov, opts.ins_frac,
                                       opts.ins_offset, SL=SL) + (hot,)
             else:
-                dl = (consensus_packed(b.weights[:TB], b.covten[:TB],
-                                       opts.min_cov, opts.ins_frac,
-                                       opts.ins_offset),)
+                packed = consensus_packed(b.weights[:TB], b.covten[:TB],
+                                          opts.min_cov, opts.ins_frac,
+                                          opts.ins_offset)
+                # slice the d2h to the real max template length (rounded to a
+                # 2048 column multiple): the merged 256-row bucket pads Lt to
+                # the longest template's tier, and the tunnel link moves the
+                # packed tensor at only tens of MB/s
+                maxn = -(-int(b.tlens.max(initial=0)) // 2048) * 2048
+                dl = (packed[:, :min(maxn, b.Lt)],)
             for x in dl:
                 try:
                     x.copy_to_host_async()

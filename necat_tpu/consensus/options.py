@@ -32,16 +32,18 @@ class CnsOptions:
                                    # suppresses spurious homopolymer inserts at low coverage
                                    # without dropping real inserts, whose support is ~0.7*cov)
     raw_min_gap: int = 1000        # uncorrected interval passthrough (get_raw_intvs)
-    # batching: more templates per bucket => fuller pair chunks (waves fan out
-    # TB*wave pairs split across length tiers; at TB=32 chunks averaged ~60/128
-    # real pairs). Weights tensor is (TB+1)*max_delta*5*Lt f32 — ~425 MB at
-    # TB=64, Lt=40k; fits v5e HBM with the donated update chain.
-    templates_per_batch: int = 64
-    # buckets whose waves share one dispatch stream (the consensus tensors of
-    # all supergroup buckets are alive at once: memory = buckets * TB * D * 5
-    # * Lt * 4B, ~1 GB at 4 x 64 x 24k — sized for v5e HBM)
-    buckets_per_supergroup: int = 4
-    pairs_per_chunk: int = 512
+    # batching: more templates per bucket => fuller pair chunks + fewer
+    # dispatches (chunk purity is per bucket: a wave split over 4 buckets ran
+    # 60%-full lanes; one 256-template bucket runs tier-mix-only chunks).
+    # Weights tensor is (TB+1)*max_delta*5*Lt f32 — ~1.7 GB at TB=256,
+    # Lt=40960; fits v5e HBM alongside the 2 GB extension buffers.
+    templates_per_batch: int = 256
+    # buckets whose waves share one dispatch stream. None (default) = one
+    # bucket per correction device (buckets are the unit of multi-chip data
+    # parallelism — each bucket's tensors and programs pin to one device);
+    # single-chip runs get exactly one bucket per supergroup.
+    buckets_per_supergroup: int | None = None
+    pairs_per_chunk: int = 1024
     band_width: int = 128
     # long-indel rescue: re-extend hanging pairs with a wider band, the TPU
     # stand-in for the DALIGNER cascade (oc2cns -r, cns_options.c:19 default 0)

@@ -28,6 +28,21 @@ import numpy as np
 from necat_tpu.io.readstore import ReadStore, pack_2bit
 
 
+def get_devstore(store: ReadStore, device=None) -> "DeviceReadStore":
+    """Cached DeviceReadStore for (store, device).
+
+    The candidate stage, the extension engine, and the correction driver all
+    need the same packed word buffer on device; uploading it once per
+    (store, device) instead of once per consumer saves ~1 s/pass at bench
+    scale. The cache lives on the ReadStore instance, so it is dropped with
+    the store (per-supergroup SMALL_MEMORY stores stay garbage-collectable)."""
+    cache = store.__dict__.setdefault("_devstore_cache", {})
+    key = None if device is None else repr(device)
+    if key not in cache:
+        cache[key] = DeviceReadStore(store, device=device)
+    return cache[key]
+
+
 class DeviceReadStore:
     """2-bit packed store uploaded once; rows gathered on device.
 

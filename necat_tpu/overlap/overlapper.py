@@ -50,24 +50,35 @@ def find_all_candidates(
     index is sharded across the device mesh and every batch runs as ONE
     shard_map dispatch — the chip-level form of the reference's per-volume
     thread groups (pm_worker.c:283-335)."""
-    from necat_tpu.io.devstore import DeviceReadStore
+    from necat_tpu.io.devstore import get_devstore
     from necat_tpu.parallel import mesh as pmesh
     from necat_tpu.utils.logging import timed
     sharded_idx = None
     if index is None:
         if mesh is None:
             mesh = pmesh.auto_mesh()
+        # cache the index on the subject store (same lifetime rationale as
+        # devstore.get_devstore): repeated candidate passes over one read set
+        # — both strands, later iterations, bench passes — share one build
+        icache = sstore.__dict__.setdefault("_index_cache", {})
+        ikey = ("mesh" if mesh is not None else "one",
+                opts.kmer_size, opts.occ_cutoff)
         if mesh is not None:
             with timed("cand.index_build"):
-                sharded_idx = pmesh.ShardedIndex(mesh, sstore, k=opts.kmer_size,
-                                                 occ_cutoff=opts.occ_cutoff)
+                if ikey not in icache:
+                    icache[ikey] = pmesh.ShardedIndex(
+                        mesh, sstore, k=opts.kmer_size,
+                        occ_cutoff=opts.occ_cutoff)
+                sharded_idx = icache[ikey]
         else:
             with timed("cand.index_build"):
-                index = KmerIndex.build(sstore.bases, sstore.offsets,
-                                        k=opts.kmer_size,
-                                        occ_cutoff=opts.occ_cutoff)
+                if ikey not in icache:
+                    icache[ikey] = KmerIndex.build(sstore.bases, sstore.offsets,
+                                                   k=opts.kmer_size,
+                                                   occ_cutoff=opts.occ_cutoff)
+                index = icache[ikey]
     with timed("cand.devstore_init"):
-        qdev = DeviceReadStore(qstore)
+        qdev = get_devstore(qstore)
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     # start from the caps previous calls in this process escalated to: every
@@ -187,7 +198,7 @@ def extend_candidates(
     min_align_size: int = 400,
     min_ident: float = 0.0,
     band_width: int = 128,
-    pairs_per_chunk: int = 512,
+    pairs_per_chunk: int = 1024,
     rescue_long_indels: bool = True,
     rescue_band_scale: int = 4,
     progress: Optional[Callable[[str], None]] = None,
@@ -200,11 +211,11 @@ def extend_candidates(
     cascade (consensus_aux.c:123-215, asm_pm sensitive-daligner retry): a wider
     band covers proportionally longer clustered indels."""
     from necat_tpu.align.engine import ExtendEngine, new_stats
-    from necat_tpu.io.devstore import DeviceReadStore
+    from necat_tpu.io.devstore import get_devstore
     n = len(cands)
     out = new_stats(n)
-    qdev = DeviceReadStore(qstore)
-    sdev = qdev if sstore is qstore else DeviceReadStore(sstore)
+    qdev = get_devstore(qstore)
+    sdev = qdev if sstore is qstore else get_devstore(sstore)
     engine = ExtendEngine(qdev, sdev, pairs_per_chunk)
     _extend_subset(cands, engine, np.arange(n), band_width, out, progress)
     if rescue_long_indels and n:

@@ -138,6 +138,13 @@ class Project:
     def path(self, *parts) -> str:
         return os.path.join(self.root, *parts)
 
+    def _opt_params(self, *keys: str) -> dict:
+        """Every config option string a stage consumes, for its manifest:
+        editing e.g. FSA_OL_FILTER_OPTIONS must invalidate the assemble
+        stage's .done manifest and force a rerun (the reference reruns when
+        the generated script text changes, Plgd/Project.pm:131-177)."""
+        return {k: self.cfg.get(k, "") for k in keys}
+
     # ------------------------------------------------------------------ stages
     def run_correct(self) -> str:
         """necat.pl correct (runConsensus, :420-520). Returns cns_final path."""
@@ -210,8 +217,14 @@ class Project:
             logger.info("cns_final: %d reads, %d bases, N50 %d",
                         cur.n_reads, cur.total_bases, n50)
 
-        _stage(wd, "correct", ifiles, [out],
-               {"num_iter": cfg.num_iter, "cov": cfg.prep_output_coverage}, fn)
+        params = {"num_iter": cfg.num_iter, "cov": cfg.prep_output_coverage,
+                  "cns_cov": cfg.cns_output_coverage,
+                  "min_read_length": cfg.min_read_length,
+                  **self._opt_params("OVLP_SENSITIVE_OPTIONS",
+                                     "CNS_SENSITIVE_OPTIONS",
+                                     "OVLP_FAST_OPTIONS", "CNS_FAST_OPTIONS",
+                                     "SMALL_MEMORY")}
+        _stage(wd, "correct", ifiles, [out], params, fn)
         return out
 
     def run_trim(self) -> str:
@@ -239,8 +252,9 @@ class Project:
             logger.info("trimmed (%s): %d/%d reads kept", method,
                         trimmed.n_reads, reads.n_reads)
 
-        _stage(wd, "trim", [cns], [out], {"method": method}, fn,
-               coordinator_only=True)
+        _stage(wd, "trim", [cns], [out],
+               {"method": method, **self._opt_params("TRIM_OVLP_OPTIONS")},
+               fn, coordinator_only=True)
         return out
 
     def run_assemble(self) -> str:
@@ -282,7 +296,10 @@ class Project:
             logger.info("contigs: %d, total %d, N50 %d",
                         res.contigs.n_reads, res.contigs.total_bases, n50)
 
-        _stage(wd, "assemble", [trimmed_path], [out], {}, fn, coordinator_only=True)
+        _stage(wd, "assemble", [trimmed_path], [out],
+               self._opt_params("ASM_OVLP_OPTIONS", "FSA_OL_FILTER_OPTIONS",
+                                "FSA_ASSEMBLE_OPTIONS"),
+               fn, coordinator_only=True)
         return out
 
     def run_bridge(self) -> str:
@@ -300,7 +317,9 @@ class Project:
             bridged = bridge_contigs(contigs, reads, opts=bopts)
             bridged.to_fasta(out)
 
-        _stage(wd, "bridge", [ctg_path], [out], {}, fn, coordinator_only=True)
+        _stage(wd, "bridge", [ctg_path], [out],
+               self._opt_params("FSA_CTG_BRIDGE_OPTIONS"),
+               fn, coordinator_only=True)
         return out
 
     def cleanup(self) -> None:
@@ -349,5 +368,7 @@ class Project:
             logger.info("polished: %d contigs, total %d, N50 %d",
                         pol.n_reads, pol.total_bases, n50)
 
-        _stage(wd, "polish", [ctg_path], [out], {}, fn)
+        _stage(wd, "polish", [ctg_path], [out],
+               self._opt_params("POLISH_OVLP_OPTIONS", "POLISH_CNS_OPTIONS"),
+               fn)
         return out

@@ -17,12 +17,15 @@ from __future__ import annotations
 # trade ≤2x padded cells (linear cost, ~100 ms/chunk) for ~10 executables
 # total. All tiers are multiples of 2048 so every kernel block size divides
 # them.
-LENGTH_TIERS = (2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144)
+LENGTH_TIERS = (2048, 4096, 8192, 16384, 32768, 40960, 65536, 131072, 262144)
 
 # dirs-buffer budget for the banded aligner: PB * L * W bytes (uint8 dirs +
 # uint8 sub-matrix each this size; 16 GB HBM on v5e leaves ample headroom, and
-# bigger chunks let the Pallas kernel run at its widest pair batch)
-EXTENSION_BYTES = 1 << 30
+# bigger chunks let the Pallas kernel run at its widest pair batch).
+# 2 GB (round 4): every chunk carries ~30-40 ms of fixed launch+overhead cost
+# through the tunnel (measured, scripts/microbench_ext.py) — doubling chunk
+# capacity halves the chunk count of a correction pass at ~4-5 GB peak HBM
+EXTENSION_BYTES = 2 << 30
 BAND_W_DEFAULT = 128
 
 
@@ -45,7 +48,7 @@ def tier_below(L: int) -> int:
     return LENGTH_TIERS[i - 1]
 
 
-def pairs_per_chunk(L: int, W: int = BAND_W_DEFAULT, cap: int = 512) -> int:
+def pairs_per_chunk(L: int, W: int = BAND_W_DEFAULT, cap: int = 1024) -> int:
     """Pair-batch bound for one extension chunk at tier L, floored to a power
     of two: the Pallas kernels require PB % 8 == 0 (a stray size like 204
     silently fell back to the lax.scan formulation, whose 40k-column scan +

@@ -59,6 +59,16 @@ def test_pipeline_assemble_end_to_end(tmp_path):
     assert rc == 0
     assert os.path.getmtime(ctg_path) == mtime, "stage was not skipped on rerun"
 
+    # editing an option string a stage consumes must invalidate its manifest
+    # and force a rerun (Plgd reruns when the script text changes,
+    # Project.pm:131-177) — round-3 regression: params={} ignored FSA_* edits
+    with open(cfg_path, "a") as f:
+        f.write("FSA_OL_FILTER_OPTIONS=--min_identity=90\n")
+    rc = cli.main(["assemble", str(cfg_path)])
+    assert rc == 0
+    assert os.path.getmtime(ctg_path) > mtime, \
+        "assemble must rerun when FSA_OL_FILTER_OPTIONS changes"
+
 
 def test_stage_retries_then_succeeds(tmp_path):
     from necat_tpu.pipeline import stages
