@@ -156,11 +156,16 @@ class ExtendEngine:
                 take = take[:np.argmin(keep)]  # cut at the first foreign pair
             cs += len(take)
             n_real = len(take)
-            # ALWAYS the tier's full chunk capacity: a per-chunk PB (next
-            # pow2 >= n_real) multiplied the executable count by ~7, and each
-            # distinct executable costs seconds of device load time through
-            # the tunnel — far more than the padded dead lanes cost
-            PB = PBmax
+            # On TPU: ALWAYS the tier's full chunk capacity — a per-chunk PB
+            # (next pow2 >= n_real) multiplied the executable count by ~7,
+            # and each distinct executable costs seconds of device load time
+            # through the tunnel, far more than the padded dead lanes cost.
+            # On CPU (tests) compiles are cheap and padded lanes are real
+            # compute: size the chunk to the work.
+            if jax.default_backend() == "tpu":
+                PB = PBmax
+            else:
+                PB = max(8, 1 << (n_real - 1).bit_length())
             with timed("ext.chunk_build"):
                 desc = np.zeros((PB, len(DESC_COLS) + n_extra), np.int32)
                 qi = qids[take]

@@ -26,6 +26,9 @@ from necat_tpu.overlap.m4 import M4Records
 MIN_BUBBLE_BRANCH = 2000       # assembly.cpp:289: only branches >= 2 kb compared
 MAX_BUBBLE_IDENTITY = 96.0     # assembly.hpp:22
 MAX_BUBBLE_COVERAGE = 97.0     # assembly.hpp:23
+# branches longer than this keep the best chain (the host O(nm) merge DP is
+# quadratic; beyond read scale the branches are structural anyway)
+CNS_BRANCH_MAX = 30000
 
 
 @dataclasses.dataclass
@@ -45,11 +48,28 @@ class AssemblyResult:
     n_paths: int
     min_identity: float
     max_overhang: int
+    # ol_filter's per-read statistics (readinfos/coverage dumps,
+    # overlap_filter.hpp:162-167), consumed by the bridge stage's auto params
+    read_ident: np.ndarray | None = None
+    read_cov: np.ndarray | None = None
 
 
-def path_to_contig(path: List[Arc], store: ReadStore,
+@dataclasses.dataclass
+class LiteralPart:
+    """A pre-computed contig segment (the consensus of similar compound-path
+    branches) walked like an arc: trim_u applies to the PRECEDING parts, then
+    seq is appended and the relative tiles are shifted into place."""
+    seq: np.ndarray
+    tiles_rel: List["Tile"]
+    trim_u: int
+    u: int           # entry vertex (path continuity bookkeeping)
+    v: int
+
+
+def path_to_contig(path: List, store: ReadStore,
                    circular: bool = False) -> Tuple[np.ndarray, List[Tile]]:
     """Concatenate the path's oriented reads into a contig sequence + tiles.
+    `path` items are Arcs or LiteralParts (consensus-merged compound edges).
 
     At each join, the previous read's unaligned tail (arc.trim_u, the overhang
     that end-clamping forgave) is dropped before appending the next read's
@@ -82,12 +102,79 @@ def path_to_contig(path: List[Arc], store: ReadStore,
                     drop -= len(last)
                     seq_parts.pop()
             pos -= a.trim_u - drop
+        if isinstance(a, LiteralPart):
+            seq_parts.append(a.seq)
+            for t in a.tiles_rel:
+                tiles.append(Tile(t.read, t.orient, pos + t.ctg_start,
+                                  pos + t.ctg_end))
+            pos += len(a.seq)
+            continue
         rid, orient = a.v // 2, a.v % 2
         seg = store.get(rid, rc=bool(orient))[a.seg_start:a.seg_end]
         seq_parts.append(seg)
         tiles.append(Tile(rid, orient, pos, pos + len(seg)))
         pos += len(seg)
     return np.concatenate(seq_parts), tiles
+
+
+def _branch_body(arcs: List[Arc], store: ReadStore):
+    """Branch body with INTRA-branch trims applied (the first arc's trim_u is
+    the caller's: it trims whatever precedes the branch). Returns
+    (seq, relative tiles)."""
+    parts: List[np.ndarray] = []
+    tiles: List[Tile] = []
+    pos = 0
+    for i, a in enumerate(arcs):
+        if i > 0 and a.trim_u > 0:
+            drop = a.trim_u
+            while drop > 0 and parts:
+                last = parts[-1]
+                if len(last) > drop:
+                    parts[-1] = last[:-drop]
+                    drop = 0
+                else:
+                    drop -= len(last)
+                    parts.pop()
+            pos -= a.trim_u - drop
+        seg = store.get(a.v // 2, rc=bool(a.v % 2))[a.seg_start:a.seg_end]
+        parts.append(seg)
+        tiles.append(Tile(a.v // 2, a.v % 2, pos, pos + len(seg)))
+        pos += len(seg)
+    seq = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return seq, tiles
+
+
+def merge_similar_branches(backbone: np.ndarray,
+                           alts: List[np.ndarray]) -> np.ndarray:
+    """Consensus of similar compound-path branches (ConstructContig1 role,
+    src/fsa/assembly.cpp:229-547): branch bodies that pass the similarity
+    check vote out each other's sequencing errors instead of the contig
+    inheriting the best chain's errors verbatim. Align every alt to the
+    backbone, feed the alignment tags plus the backbone's own identity
+    alignment into the reference link DP (cns_aux.c:127-217), splice the
+    consensus over the covered range."""
+    from necat_tpu.consensus.linkdp import (consensus_linkdp, host_edit_ops,
+                                            tags_from_ops)
+    n = len(backbone)
+    all_tags = list(tags_from_ops(np.zeros(n, np.uint8), n, backbone,
+                                  qoff=0, toff=0, weight=1.0,
+                                  max_delta=65535) or [])
+    n_in = 1
+    for alt in alts:
+        ops, qs, qe = host_edit_ops(alt, backbone)
+        if qe - qs < n // 2:
+            continue
+        tg = tags_from_ops(ops, len(ops), alt, qoff=qs, toff=0, weight=1.0,
+                           max_delta=65535)
+        if tg:
+            all_tags.extend(tg)
+            n_in += 1
+    if n_in < 2:
+        return backbone
+    S, cf, ct = consensus_linkdp(all_tags, n)
+    if len(S) < (ct - cf) // 2:
+        return backbone
+    return np.concatenate([backbone[:cf], S, backbone[ct:]])
 
 
 def _branch_seq(arcs: List[Arc], store: ReadStore) -> np.ndarray:
@@ -210,29 +297,37 @@ def assemble(
 
     built = []           # (seq, tiles, bubble list)
     for path in paths:
-        arcs: List[Arc] = []
+        arcs: List = []      # Arcs and LiteralParts (consensus-merged bubbles)
         bubbles: List[List[Arc]] = []
         for pe in path:
             if pe.kind == "simple":
                 arcs.extend(pe.arcs)
+                continue
+            primary, alts = best_chain_through(pe.subedges, pe.u, pe.v)
+            parcs = [a for se in primary for a in se.arcs]
+            pseq = _branch_seq(parcs, store)
+            sim_seqs: List[np.ndarray] = []
+            for alt in alts:
+                alt_arcs = [a for se in alt for a in se.arcs]
+                aseq = _branch_seq(alt_arcs, store)
+                if len(aseq) < MIN_BUBBLE_BRANCH or len(pseq) < MIN_BUBBLE_BRANCH:
+                    continue
+                cov, ident = sequence_similarity(aseq, pseq)
+                if ident * 100 <= MAX_BUBBLE_IDENTITY or cov * 100 < MAX_BUBBLE_COVERAGE:
+                    bubbles.append(alt_arcs)
+                elif len(pseq) <= CNS_BRANCH_MAX and len(aseq) <= CNS_BRANCH_MAX:
+                    # similar branches merge by consensus instead of the
+                    # primary chain winning outright (ConstructContig1,
+                    # assembly.cpp:229-547)
+                    sim_seqs.append(aseq)
+            if sim_seqs and parcs:
+                body, rel_tiles = _branch_body(parcs, store)
+                merged = merge_similar_branches(body, sim_seqs)
+                arcs.append(LiteralPart(seq=merged, tiles_rel=rel_tiles,
+                                        trim_u=parcs[0].trim_u,
+                                        u=parcs[0].u, v=parcs[-1].v))
             else:
-                primary, alts = best_chain_through(pe.subedges, pe.u, pe.v)
-                for se in primary:
-                    arcs.extend(se.arcs)
-                pseq = None
-                for alt in alts:
-                    alt_arcs = [a for se in alt for a in se.arcs]
-                    aseq = _branch_seq(alt_arcs, store)
-                    if len(aseq) < MIN_BUBBLE_BRANCH:
-                        continue
-                    if pseq is None:
-                        parcs = [a for se in primary for a in se.arcs]
-                        pseq = _branch_seq(parcs, store)
-                    if len(pseq) < MIN_BUBBLE_BRANCH:
-                        continue
-                    cov, ident = sequence_similarity(aseq, pseq)
-                    if ident * 100 <= MAX_BUBBLE_IDENTITY or cov * 100 < MAX_BUBBLE_COVERAGE:
-                        bubbles.append(alt_arcs)
+                arcs.extend(parcs)
         if not arcs:
             continue
         # circular path: the walk closed back on its start vertex
@@ -268,4 +363,6 @@ def assemble(
     bub = ReadStore.from_seqs(bseqs, bnames)
     return AssemblyResult(contigs=contigs, tiles=all_tiles, bubbles=bub,
                           bubble_tiles=btiles, n_paths=len(paths),
-                          min_identity=fres.min_identity, max_overhang=fres.max_overhang)
+                          min_identity=fres.min_identity,
+                          max_overhang=fres.max_overhang,
+                          read_ident=fres.read_ident, read_cov=fres.read_cov)

@@ -72,6 +72,11 @@ class FilterResult:
     max_overhang: int
     contained: np.ndarray   # read ids judged contained
     filtered_reads: np.ndarray
+    # per-read statistics over the kept overlaps (the reference's readinfos /
+    # coverage dumps, overlap_filter.hpp:162-167 — consumed by fsa_ctg_bridge
+    # AutoSelectParams, contig_bridge.cpp:197-290)
+    read_ident: np.ndarray | None = None    # mean identity (nan = no overlaps)
+    read_cov: np.ndarray | None = None      # int32[n_reads, 2] (min, max)
 
 
 def _per_read_stats(m4: M4Records, n_reads: int):
@@ -222,8 +227,13 @@ def filter_overlaps(m4: M4Records, n_reads: int, opts: FilterOptions = FilterOpt
         keep5 = _best_n_mask(cl, opts.bestn)
         m4 = m4.take(np.flatnonzero(keep5))
 
+    read_ident, _, _ = _per_read_stats(m4, n_reads)
+    read_cov = _per_read_minmax_cov(clamp_ends(m4, max_oh), n_reads,
+                                    int(max_oh))
     return FilterResult(m4, min_ident, int(max_oh),
-                        np.flatnonzero(contained), np.flatnonzero(filtered_reads))
+                        np.flatnonzero(contained),
+                        np.flatnonzero(filtered_reads),
+                        read_ident=read_ident, read_cov=read_cov)
 
 
 def _per_read_minmax_cov(m4: M4Records, n_reads: int, overhang_limit: int

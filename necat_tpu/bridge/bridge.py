@@ -33,11 +33,11 @@ class BridgeOptions:
     min_ident: float = -1.0     # auto from the mapping identities when < 0
                                 # (contig_bridge.cpp:197-290 AutoSelectParams)
     min_align_size: int = 2000
-    # repeat guard: an oriented contig end whose second-best link support is
-    # >= ambiguity_ratio x the best is treated as repeat-ambiguous and left
-    # unjoined (conservative form of ContigGraph::CheckRepeat,
-    # contig_graph.cpp:206-253 — the reference only reports these)
-    ambiguity_ratio: float = 0.4
+    # path-walk branching policy (IdentifyPaths method, contig_graph.cpp:255-
+    # 450): "no" joins only strictly linear joints, "one" (reference default,
+    # contig_bridge.hpp:55) additionally resolves at most one mutual-best
+    # branch per chain, "best" follows every mutual-best edge
+    select_branch: str = "one"
     # ctg<->ctg direct-overlap evidence (LoadC2cFile role,
     # contig_link_store.cpp:61-138): end-dovetail contig overlaps add links
     use_c2c: bool = True
@@ -60,6 +60,7 @@ class BridgeOptions:
             "read2ctg_min_coverage": ("min_support", int),
             "ctg2ctg_min_aligned_length": ("c2c_min_len", int),
             "window_size": ("end_window", int),
+            "select_branch": ("select_branch", str),
         }
         return apply_named(parse_named(s), mapping, base or cls(),
                            "fsa_ctg_bridge")
@@ -73,30 +74,36 @@ def _read_placements(m4: M4Records) -> Dict[int, List[int]]:
 
 
 def find_links(m4: M4Records, contig_lengths: np.ndarray, opts: BridgeOptions):
-    """Collect (A, dA, B, dB) link evidence from consecutive read placements.
+    """Collect (A, dA, B, dB) link evidence from read placements.
 
-    Orientation d is the strand of the contig along the read's forward axis.
-    Returns dict link -> list of (read, read_gap_start, read_gap_end, rc_read).
-    """
+    EVERY ordered pair of a read's placements is considered, not only
+    consecutive ones (the reference links every contig pair sharing a read,
+    contig_link_store.cpp:75-90) — a read spanning A, n, B therefore supports
+    A->n, n->B AND the direct A->B, which is exactly the shared-read evidence
+    RemoveCoveredEdges keys on. Orientation d is the strand of the contig
+    along the read's forward axis. Returns dict link -> list of
+    (read, read_gap_start, read_gap_end)."""
     qoff_f, qend_f = m4.fwd_query_range()
     links: Dict[Tuple[int, int, int, int], List[Tuple[int, int, int]]] = defaultdict(list)
     for rid, idxs in _read_placements(m4).items():
         if len(idxs) < 2:
             continue
         order = sorted(idxs, key=lambda i: qoff_f[i])
-        for a, b in zip(order[:-1], order[1:]):
-            A, B = int(m4.sid[a]), int(m4.sid[b])
-            if A == B:
-                continue
-            dA, dB = int(m4.qdir[a]), int(m4.qdir[b])
-            w = opts.end_window
-            # read exits A to the right: A tail (fwd) or A head (rev) must be reached
-            exit_ok = (contig_lengths[A] - m4.send[a] <= w) if dA == 0 else (m4.soff[a] <= w)
-            entry_ok = (m4.soff[b] <= w) if dB == 0 else (contig_lengths[B] - m4.send[b] <= w)
-            if not (exit_ok and entry_ok):
-                continue
-            gap_s, gap_e = int(qend_f[a]), int(qoff_f[b])
-            links[(A, dA, B, dB)].append((rid, gap_s, gap_e))
+        for ai in range(len(order) - 1):
+            for bi in range(ai + 1, len(order)):
+                a, b = order[ai], order[bi]
+                A, B = int(m4.sid[a]), int(m4.sid[b])
+                if A == B:
+                    continue
+                dA, dB = int(m4.qdir[a]), int(m4.qdir[b])
+                w = opts.end_window
+                # read exits A to the right: A tail (fwd) or A head (rev)
+                exit_ok = (contig_lengths[A] - m4.send[a] <= w) if dA == 0 else (m4.soff[a] <= w)
+                entry_ok = (m4.soff[b] <= w) if dB == 0 else (contig_lengths[B] - m4.send[b] <= w)
+                if not (exit_ok and entry_ok):
+                    continue
+                gap_s, gap_e = int(qend_f[a]), int(qoff_f[b])
+                links[(A, dA, B, dB)].append((rid, gap_s, gap_e))
     return links
 
 
@@ -172,14 +179,187 @@ def _add_c2c_links(links, contigs: ReadStore, map_opts: MapOptions,
             links[(B, 0, A, dA)].extend([(-1, qe, 0)] * opts.c2c_support)
 
 
+class _CEdge:
+    """Directed edge between oriented contigs (ContigEdge,
+    contig_graph.hpp:40-90). A covered edge expands into its two sub-edges at
+    emission time (GetSeqArea covered_ recursion), so the skipped middle
+    contig still appears in the chain."""
+
+    __slots__ = ("u", "v", "ev", "removed", "covered")
+
+    def __init__(self, u, v):
+        self.u = u
+        self.v = v
+        self.ev: List = []
+        self.removed = False
+        self.covered = None          # (edge_a, edge_b) when a macro-edge
+
+    @property
+    def support(self) -> int:
+        return len(self.ev)
+
+    def med_gap(self) -> int:
+        gaps = sorted(e[2] - e[1] for (e, _) in self.ev)
+        return gaps[len(gaps) // 2] if gaps else 0
+
+    def reads(self) -> set:
+        return {e[0] for (e, _) in self.ev}
+
+
+class ContigGraph:
+    """Oriented-contig-end graph (ContigGraph, contig_graph.cpp:39-473):
+    nodes are (contig, dir); every link adds the edge AND its reverse
+    complement; passes: covered-edge removal, mutual-best path identification
+    (CalucateBest + IdentifyPaths(method=best))."""
+
+    def __init__(self, opts: BridgeOptions):
+        self.opts = opts
+        self.edges: Dict[Tuple, _CEdge] = {}
+        self.out_e: Dict[Tuple[int, int], List[_CEdge]] = defaultdict(list)
+        self.in_e: Dict[Tuple[int, int], List[_CEdge]] = defaultdict(list)
+
+    def _edge(self, u, v) -> _CEdge:
+        e = self.edges.get((u, v))
+        if e is None:
+            e = _CEdge(u, v)
+            self.edges[(u, v)] = e
+            self.out_e[u].append(e)
+            self.in_e[v].append(e)
+        return e
+
+    def add_link(self, key, ev) -> None:
+        """ev: list of ((read, gap_s, gap_e), flipped)."""
+        A, dA, B, dB = key
+        self._edge((A, dA), (B, dB)).ev.extend(ev)
+        rev = [((r, s, e), not fl) for ((r, s, e), fl) in ev]
+        self._edge((B, 1 - dB), (A, 1 - dA)).ev.extend(rev)
+
+    def drop_weak(self, min_support: int) -> None:
+        for e in self.edges.values():
+            if e.support < min_support:
+                e.removed = True
+
+    def _live_out(self, u):
+        return [e for e in self.out_e[u] if not e.removed]
+
+    def _live_in(self, v):
+        return [e for e in self.in_e[v] if not e.removed]
+
+    def remove_covered_edges(self) -> None:
+        """RemoveCoveredEdges (contig_graph.cpp:135-204): for X -> n -> Y with
+        a direct X -> Y whose gap matches the two-step gap (within 2 windows)
+        and shares a supporting read with both steps, drop the two-step edges;
+        the direct edge becomes a macro-edge emitting X, n, Y."""
+        w = self.opts.end_window
+        to_remove = []
+        for n in list(self.out_e.keys()):
+            for ea in self._live_in(n):
+                for eb in self._live_out(n):
+                    direct = self.edges.get((ea.u, eb.v))
+                    if direct is None or direct.removed or direct in (ea, eb):
+                        continue
+                    glen = ea.med_gap() + eb.med_gap() - direct.med_gap()
+                    if abs(glen) > 2 * w:
+                        continue
+                    dr = direct.reads()
+                    if dr & ea.reads() and dr & eb.reads():
+                        direct.covered = (ea, eb)
+                        to_remove.extend((ea, eb))
+        for e in to_remove:
+            e.removed = True
+
+    def identify_paths(self, method: str | None = None) -> List[List]:
+        """Path walk (CalucateBest contig_graph.cpp:473-498 + IdentifyPaths/
+        ExtendPath :255-450): from every unvisited node, extend forward then
+        backward; a node and its reverse complement are visited together so
+        each contig is emitted once. Methods (select_branch):
+          no   — extend only through strictly linear joints (degree 1 on both
+                 sides);
+          one  — linear joints freely, plus AT MOST ONE mutual-best branching
+                 step per path (the reference default — exactly one repeat
+                 boundary may be resolved per chain);
+          best — every mutual-best step.
+        Returns paths as lists of (node, entry_edge|None)."""
+        method = method or self.opts.select_branch
+
+        def best(edges):
+            if not edges:
+                return None
+            return max(edges, key=lambda e: (e.support, -abs(e.med_gap()),
+                                             e.v, e.u))
+
+        best_out = {u: best(self._live_out(u)) for u in self.out_e}
+        best_in = {v: best(self._live_in(v)) for v in self.in_e}
+        rev = lambda n: (n[0], 1 - n[1])
+        visited = set()
+        paths = []
+        all_nodes = sorted(set(list(self.out_e) + list(self.in_e)))
+
+        def step(cur, fwd, visited, count):
+            e = best_out.get(cur) if fwd else best_in.get(cur)
+            if e is None or e.removed:
+                return None
+            nxt = e.v if fwd else e.u
+            mutual = (best_in.get(e.v) is e) and (best_out.get(e.u) is e)
+            if not mutual or nxt in visited:
+                return None
+            linear = (len(self._live_out(e.u)) == 1
+                      and len(self._live_in(e.v)) == 1)
+            if linear:
+                return e
+            if method == "no":
+                return None
+            if method == "one":
+                if count[0] == 0:
+                    count[0] += 1
+                    return e
+                return None
+            return e                     # "best"
+
+        for n0 in all_nodes:
+            if n0 in visited:
+                continue
+            visited.add(n0)
+            visited.add(rev(n0))
+            path = [(n0, None)]
+            count = [0]                  # per-path branching allowance ("one")
+            cur = n0
+            while True:
+                e = step(cur, True, visited, count)
+                if e is None:
+                    break
+                path.append((e.v, e))
+                visited.add(e.v)
+                visited.add(rev(e.v))
+                cur = e.v
+            cur = n0
+            while True:
+                e = step(cur, False, visited, count)
+                if e is None:
+                    break
+                path.insert(0, (e.u, None))
+                path[1] = (path[1][0], e)
+                visited.add(e.u)
+                visited.add(rev(e.u))
+                cur = e.u
+            paths.append(path)
+        return paths
+
+
 def bridge_contigs(
     contigs: ReadStore,
     reads: ReadStore,
     map_opts: MapOptions | None = None,
     opts: BridgeOptions = BridgeOptions(),
     m4: M4Records | None = None,
+    readinfos: dict | None = None,
 ) -> ReadStore:
-    """Join contigs via read bridges; returns the bridged contig store."""
+    """Join contigs via read bridges; returns the bridged contig store.
+
+    `readinfos` (optional) carries the assemble stage's per-read statistics
+    (ol_filter's readinfos dump, overlap_filter.hpp:162-167): its
+    min_identity seeds the auto identity cutoff instead of re-deriving it
+    from the read->contig mapping alone (contig_bridge.cpp:197-290)."""
     if contigs.n_reads <= 1:
         return contigs
     if map_opts is None:
@@ -191,7 +371,12 @@ def bridge_contigs(
                                     min_ident=max(opts.min_ident, 0.0),
                                     band_width=256)
     min_ident = opts.min_ident
-    if min_ident < 0 and len(m4):
+    if min_ident < 0 and readinfos and readinfos.get("min_identity", 0) > 0:
+        # raw-read identities run lower than trimmed-read ones; the assemble
+        # stage's cutoff is an upper anchor (contig_bridge.cpp:197-290)
+        min_ident = max(70.0, float(readinfos["min_identity"]) - 10.0)
+        m4 = m4.take(np.flatnonzero(m4.ident >= min_ident))
+    elif min_ident < 0 and len(m4):
         # auto identity cutoff from the mapping-identity distribution
         # (AutoSelectParams role, contig_bridge.cpp:197-290)
         mi = m4.ident.astype(np.float64)
@@ -203,127 +388,52 @@ def bridge_contigs(
     if opts.use_c2c:
         _add_c2c_links(links, contigs, map_opts, opts)
 
-    # canonicalize: link and its reverse complement describe the same junction
-    def canon(key):
-        A, dA, B, dB = key
-        rkey = (B, 1 - dB, A, 1 - dA)
-        return min(key, rkey)
-
-    grouped: Dict[Tuple[int, int, int, int], List] = defaultdict(list)
+    g = ContigGraph(opts)
     for key, ev in links.items():
-        ck = canon(key)
-        if ck == key:
-            grouped[ck].extend([(e, False) for e in ev])
-        else:
-            grouped[ck].extend([(e, True) for e in ev])
-
-    cand_links = [(len(ev), key, ev) for key, ev in grouped.items()
-                  if len(ev) >= opts.min_support]
-    cand_links.sort(key=lambda t: -t[0])
-
-    # --- covered-edge removal (ContigGraph::RemoveCoveredEdges,
-    # contig_graph.cpp:134-204): when X->n and n->Y exist alongside a direct
-    # X->Y whose gap matches the two-step gap and shares a supporting read,
-    # the two-step edges are dropped in favour of the direct one
-    def med_gap(ev):
-        gaps = sorted(e[2] - e[1] for (e, _) in ev)
-        return gaps[len(gaps) // 2]
-
-    by_key = {key: ev for _, key, ev in cand_links}
-    removed = set()
-    for _, a_key, a_ev in cand_links:
-        for _, b_key, b_ev in cand_links:
-            if a_key[2:] != b_key[:2]:
-                continue
-            e_key = a_key[:2] + b_key[2:]
-            if e_key not in by_key or e_key in (a_key, b_key):
-                continue
-            glen = med_gap(a_ev) + med_gap(b_ev) - med_gap(by_key[e_key])
-            if abs(glen) > 2 * opts.end_window:
-                continue
-            e_reads = {e[0] for (e, _) in by_key[e_key]}
-            a_reads = {e[0] for (e, _) in a_ev}
-            b_reads = {e[0] for (e, _) in b_ev}
-            if e_reads & a_reads and e_reads & b_reads:
-                removed.add(a_key)
-                removed.add(b_key)
-    cand_links = [t for t in cand_links if t[1] not in removed]
-
-    # --- repeat guard: ends with two comparably-supported links are
-    # ambiguous (repeat boundaries); joining through them risks chimeras
-    def ends_of(key):
-        A, dA, B, dB = key
-        return ((A, "tail" if dA == 0 else "head"),
-                (B, "head" if dB == 0 else "tail"))
-
-    end_supports: Dict[tuple, List[int]] = defaultdict(list)
-    for support, key, ev in cand_links:
-        for e in ends_of(key):
-            end_supports[e].append(support)
-    ambiguous = set()
-    for e, sups in end_supports.items():
-        sups.sort(reverse=True)
-        if len(sups) >= 2 and sups[1] >= opts.ambiguity_ratio * sups[0]:
-            ambiguous.add(e)
-
-    # greedy chain building over contig ends (each oriented end used once)
-    used_end = set()
-    joins = []
-    for support, key, ev in cand_links:
-        A, dA, B, dB = key
-        endA, endB = ends_of(key)
-        if endA in ambiguous or endB in ambiguous:
+        if key[0] == key[2]:
             continue
-        if endA in used_end or endB in used_end or A == B:
-            continue
-        used_end.add(endA)
-        used_end.add(endB)
-        joins.append((key, ev))
-
-    # adjacency over oriented contigs — BOTH traversal directions of each
-    # join, so chains extend through links whatever their canonical form
-    # (the reverse traversal flips each evidence's orientation)
-    nxt: Dict[Tuple[int, int], Tuple[int, int, list]] = {}
-    prv: Dict[Tuple[int, int], Tuple[int, int]] = {}
-    for (A, dA, B, dB), ev in joins:
-        nxt[(A, dA)] = (B, dB, ev)
-        prv[(B, dB)] = (A, dA)
-        rev_ev = [((r, s, e), not fl) for ((r, s, e), fl) in ev]
-        nxt[(B, 1 - dB)] = (A, 1 - dA, rev_ev)
-        prv[(A, 1 - dA)] = (B, 1 - dB)
+        g.add_link(key, [(e, False) for e in ev])
+    g.drop_weak(opts.min_support)
+    g.remove_covered_edges()
+    paths = g.identify_paths()
 
     emitted: set[int] = set()
     out_seqs, out_names = [], []
 
-    def emit_chain(start: Tuple[int, int]):
-        chain: List[Tuple[Tuple[int, int], list | None]] = [(start, None)]
-        cur = start
-        while cur in nxt:
-            B, dB, ev = nxt[cur]
-            if B in emitted or B in [n[0] for (n, _) in chain]:
-                break
-            chain.append(((B, dB), ev))
-            cur = (B, dB)
-        parts = [contigs.get(chain[0][0][0], rc=bool(chain[0][0][1]))]
-        for ((B, dB), ev) in chain[1:]:
+    def expand(edge) -> List:
+        """A covered macro-edge emits its two sub-edges (and the middle
+        contig) in its place."""
+        if edge.covered is None:
+            return [edge]
+        ea, eb = edge.covered
+        return expand(ea) + expand(eb)
+
+    for path in paths:
+        if path[0][0][0] in emitted:
+            continue
+        joins: List = []
+        for (node, edge) in path[1:]:
+            joins.extend(expand(edge))
+        parts = [contigs.get(path[0][0][0], rc=bool(path[0][0][1]))]
+        for e in joins:
+            B, dB = e.v
             nxt_seq = contigs.get(B, rc=bool(dB))
-            gap = _junction_seq(reads, ev, opts)
+            gap = _junction_seq(reads, e.ev, opts)
             if isinstance(gap, int):
                 parts.append(nxt_seq[min(gap, len(nxt_seq)):])
             else:
                 parts.append(gap)
                 parts.append(nxt_seq)
-        for (n, _) in chain:
-            emitted.add(n[0])
+        emitted.add(path[0][0][0])
+        for e in joins:
+            emitted.add(e.v[0])
         out_seqs.append(np.concatenate(parts))
         out_names.append(f"bctg{len(out_seqs) - 1}")
 
-    # chains start at oriented contigs with an outgoing link but no incoming one
-    for node in list(nxt.keys()):
-        if node not in prv and node[0] not in emitted:
-            emit_chain(node)
-    # remaining contigs (cycles or singletons)
+    # remaining contigs (cycles the walk never started cleanly, singletons)
     for c in range(contigs.n_reads):
         if c not in emitted:
-            emit_chain((c, 0))
+            emitted.add(c)
+            out_seqs.append(contigs.get(c))
+            out_names.append(f"bctg{len(out_seqs) - 1}")
     return ReadStore.from_seqs(out_seqs, out_names)

@@ -72,21 +72,46 @@ def consensus_packed(weights, coverage, min_cov, ins_frac, ins_offset):
     return jnp.sum(fields << shifts, axis=2).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("NF",))
+def flatten_packed(packed, starts, NF: int):
+    """Ragged row-major flatten of the packed consensus: out[i] =
+    packed[r, i - starts[r]] where r is the row whose [starts[r],
+    starts[r+1]) range holds i; zero beyond starts[-1].
+
+    Exists for the d2h link: the padded [TB, Lt] tensor moves ~3x more bytes
+    than the real sum(tlens) columns (the tunnel link runs ~20 MB/s, so the
+    padding cost 1.5-2 s/pass). starts: i32[TB+1] cumulative tlens."""
+    TB, Lt = packed.shape
+    i = jnp.arange(NF, dtype=jnp.int32)
+
+    def body(b, r):
+        return r + (i >= starts[b]).astype(jnp.int32)
+
+    # row index via TB accumulation passes (no per-element binary search:
+    # device gathers run ~45 M elem/s, compare+add streams at bandwidth)
+    row = jax.lax.fori_loop(1, TB + 1, body, jnp.zeros(NF, jnp.int32))
+    row = jnp.clip(row, 0, TB - 1)
+    off = jnp.clip(i - starts[row], 0, Lt - 1)
+    flat = packed.reshape(-1)[row * Lt + off]
+    return jnp.where(i < starts[TB], flat, 0)
+
+
 def compact_from_packed(
-    packed: np.ndarray,    # int32[TB, L] (host) from consensus_packed
+    packed: np.ndarray,    # int32[TB, L] (host) OR flat int32[NF] (see starts)
     tlens: np.ndarray,
     templates: np.ndarray,
     min_size: int,
     raw_min_gap: int,
     max_delta: int = 8,
     min_run: int | None = None,
+    row_starts: np.ndarray | None = None,  # flat layout: row b at [starts[b], +tlens[b])
 ) -> List[Tuple[List[Tuple[int, int, np.ndarray]], List[Tuple[int, int, np.ndarray]]]]:
     """Host decode of consensus_packed: identical output to compact_consensus.
 
     min_run overrides the covered-run length threshold (consensus_unbroken uses
     0.85*min_size for the run but min_size for the emitted fragment,
     src/tasc/cbcns.c:200-208); default = min_size (consensus_broken)."""
-    TB, L = packed.shape
+    TB = len(tlens)
     if min_run is None:
         min_run = min_size
     out = []
@@ -97,7 +122,10 @@ def compact_from_packed(
         if n == 0:
             out.append((cns_pieces, raw_pieces))
             continue
-        p = packed[b, :n]
+        if row_starts is not None:
+            p = packed[int(row_starts[b]):int(row_starts[b]) + n]
+        else:
+            p = packed[b, :n]
         cov = (p & 7) != 7
         dif = np.diff(np.r_[0, cov.astype(np.int8), 0])
         starts = np.flatnonzero(dif == 1)

@@ -403,11 +403,15 @@ def _run_waves_legacy(engines, cands, tpls, buckets, opts: CnsOptions,
             collect_stats(chunks, stats)
 
             if opts.rescue_long_indels:
-                # cns_extension rescue trigger (consensus_aux.c:152-157)
-                lhang = np.maximum(stats["qoff"] - cands.qbeg[p_ci], 0)
-                rhang = np.maximum(cands.qend[p_ci] - stats["qend"], 0)
-                bad = np.flatnonzero((lhang + rhang) > 200)
-                if len(bad):
+                # cns_extension rescue trigger (consensus_aux.c:152-157) with
+                # the band-doubling ladder (same rungs as the fused path)
+                scale = opts.rescue_band_scale
+                while scale <= opts.rescue_band_max_scale:
+                    lhang = np.maximum(stats["qoff"] - cands.qbeg[p_ci], 0)
+                    rhang = np.maximum(cands.qend[p_ci] - stats["qend"], 0)
+                    bad = np.flatnonzero((lhang + rhang) > 200)
+                    if len(bad) == 0:
+                        break
                     rchunks = engine.submit(
                         sel=bad, qids=local_ids(cands.qid[p_ci[bad]]),
                         qdir=cands.qdir[p_ci[bad]].astype(np.int32),
@@ -415,9 +419,10 @@ def _run_waves_legacy(engines, cands, tpls, buckets, opts: CnsOptions,
                         tg_base=tg_base[bad], tsize=tsize[bad],
                         aq=cands.qbeg[p_ci[bad]].astype(np.int64),
                         at_abs=cands.sbeg[p_ci[bad]].astype(np.int64),
-                        W=opts.band_width * opts.rescue_band_scale,
+                        W=opts.band_width * scale,
                         groups=gkey[bad], insb_words=insb_words)
                     splice_rescue(chunks, rchunks, stats)
+                    scale *= 2
 
         # ---------------- round 0: estimate identity cutoffs
         with timed("cns.accept"):
@@ -543,9 +548,9 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
             return d
 
         allow_fc = round_id > 0
-        keep_wide = None
+        lane_w = None
         if round_id == 0:
-            # ident estimation (+ rescue splice into the ident buffer)
+            # ident estimation (+ rescue ladder into the ident buffer)
             assert wave <= fused.IDENT_SLOTS, \
                 "n_ident+10 must fit IDENT_SLOTS (fused.py)"
             ibufs = {bi: _on_device(
@@ -558,23 +563,39 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                     engines, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
                     allow_fullcov=False, slots=slots, ibufs=ibufs)
                 if rescue:
+                    # band-doubling ladder (cols_guard keeps the best rung's
+                    # idents in the slot buffer); lane_w remembers each
+                    # lane's best band for the scatter re-dispatch below
                     fused.release_bufs(ich)
                     s0 = fused.new_fused_stats(npairs)
                     fused.collect_fused(ich, s0)
-                    lhang = np.maximum(s0["qoff"] - cands.qbeg[p_ci], 0)
-                    rhang = np.maximum(cands.qend[p_ci] - s0["qend"], 0)
-                    bad = np.flatnonzero((lhang + rhang) > 200)
-                    keep_wide = np.zeros(npairs, bool)
-                    if len(bad):
+                    lane_w = np.full(npairs, W0, np.int64)
+                    best_c = s0["n_cols"].copy()
+                    hang = (np.maximum(s0["qoff"] - cands.qbeg[p_ci], 0)
+                            + np.maximum(cands.qend[p_ci] - s0["qend"], 0))
+                    bad = np.flatnonzero(hang > 200)
+                    scale = opts.rescue_band_scale
+                    while len(bad) and scale <= opts.rescue_band_max_scale:
+                        Wx = W0 * scale
                         wch = fused.dispatch_wave(
-                            engines, **sub(bad), W=Wwide, cutoffs=cutoffs,
+                            engines, **sub(bad), W=Wx, cutoffs=cutoffs,
                             tensors=tensors, allow_fullcov=False,
                             slots=slots[bad], ibufs=ibufs,
-                            nc0=s0["n_cols"][bad], cols_guard=True)
+                            nc0=best_c[bad], cols_guard=True)
                         fused.release_bufs(wch)
                         s1 = fused.new_fused_stats(npairs)
                         fused.collect_fused(wch, s1, sel=bad)
-                        keep_wide[bad] = s1["n_cols"][bad] >= s0["n_cols"][bad]
+                        imp = s1["n_cols"][bad] >= best_c[bad]
+                        lane_w[bad[imp]] = Wx
+                        best_c[bad] = np.maximum(best_c[bad],
+                                                 s1["n_cols"][bad])
+                        h1 = (np.maximum(s1["qoff"][bad]
+                                         - cands.qbeg[p_ci[bad]], 0)
+                              + np.maximum(cands.qend[p_ci[bad]]
+                                           - s1["qend"][bad], 0))
+                        # a rung only counts if it kept/improved the result
+                        bad = bad[(h1 > 200) | ~imp]
+                        scale *= 2
             for bi, ib in ibufs.items():
                 cutoffs[bi] = fused.cutoff_from_idents(ib,
                                                        n_ident=opts.n_ident)
@@ -587,16 +608,14 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                 fused.scatter_round0(engines, ich, cutoffs, tensors,
                                      opts.min_align_size, opts.mapping_ratio)
                 fused.collect_fused(ich, stats)
-            elif keep_wide is not None:
+            elif lane_w is not None:
                 # round 0 + rescue: the per-lane band is already decided
-                nw = np.flatnonzero(~keep_wide)
-                wv = np.flatnonzero(keep_wide)
-                for idx, Wx in ((nw, W0), (wv, Wwide)):
-                    if len(idx):
-                        ch = fused.dispatch_wave(
-                            engines, **sub(idx), W=Wx, cutoffs=cutoffs,
-                            tensors=tensors, allow_fullcov=False)
-                        fused.collect_fused(ch, stats, sel=idx)
+                for Wx in np.unique(lane_w):
+                    idx = np.flatnonzero(lane_w == Wx)
+                    ch = fused.dispatch_wave(
+                        engines, **sub(idx), W=int(Wx), cutoffs=cutoffs,
+                        tensors=tensors, allow_fullcov=False)
+                    fused.collect_fused(ch, stats, sel=idx)
             else:
                 ch = fused.dispatch_wave(
                     engines, **base, W=W0, cutoffs=cutoffs, tensors=tensors,
@@ -605,19 +624,37 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                     rescue_defer=rescue)
                 fused.collect_fused(ch, stats)
                 if rescue:
+                    # band-doubling ladder: deferred lanes climb with both
+                    # the hang check (rescue_defer) and the best-cols guard;
+                    # lanes that exhaust the ladder replay at their best band
                     di = np.flatnonzero(stats["deferred"])
-                    if len(di):
+                    best_w = np.full(npairs, W0, np.int64)
+                    best_c = stats["n_cols"].copy()
+                    scale = opts.rescue_band_scale
+                    while len(di) and scale <= opts.rescue_band_max_scale:
+                        Wx = W0 * scale
+                        last = scale * 2 > opts.rescue_band_max_scale
                         wch = fused.dispatch_wave(
-                            engines, **sub(di), W=Wwide, cutoffs=cutoffs,
+                            engines, **sub(di), W=Wx, cutoffs=cutoffs,
                             tensors=tensors, allow_fullcov=allow_fc,
-                            nc0=stats["n_cols"][di], cols_guard=True)
+                            qend_cand=cands.qend[p_ci[di]].astype(np.int64),
+                            nc0=best_c[di], cols_guard=True,
+                            rescue_defer=not last)
+                        prev_c = best_c[di].copy()
                         fused.collect_fused(wch, stats, sel=di)
-                        d2 = di[stats["deferred"][di]]
-                        if len(d2):
+                        new_c = stats["n_cols"][di]
+                        best_w[di[new_c >= prev_c]] = Wx
+                        best_c[di] = np.maximum(new_c, prev_c)
+                        di = di[stats["deferred"][di]]
+                        scale *= 2
+                    if len(di):
+                        for Wx in np.unique(best_w[di]):
+                            sel_w = di[best_w[di] == Wx]
                             fch = fused.dispatch_wave(
-                                engines, **sub(d2), W=W0, cutoffs=cutoffs,
-                                tensors=tensors, allow_fullcov=allow_fc)
-                            fused.collect_fused(fch, stats, sel=d2)
+                                engines, **sub(sel_w), W=int(Wx),
+                                cutoffs=cutoffs, tensors=tensors,
+                                allow_fullcov=allow_fc)
+                            fused.collect_fused(fch, stats, sel=sel_w)
 
         with timed("cns.accept"):
             acc = np.flatnonzero(stats["ok"])
@@ -686,15 +723,19 @@ def _correct_supergroup(store, engines, cands, groups, sg_ids,
                                       opts.min_cov, opts.ins_frac,
                                       opts.ins_offset, SL=SL) + (hot,)
             else:
+                from necat_tpu.consensus.backbone import flatten_packed
                 packed = consensus_packed(b.weights[:TB], b.covten[:TB],
                                           opts.min_cov, opts.ins_frac,
                                           opts.ins_offset)
-                # slice the d2h to the real max template length (rounded to a
-                # 2048 column multiple): the merged 256-row bucket pads Lt to
-                # the longest template's tier, and the tunnel link moves the
-                # packed tensor at only tens of MB/s
-                maxn = -(-int(b.tlens.max(initial=0)) // 2048) * 2048
-                dl = (packed[:, :min(maxn, b.Lt)],)
+                # ragged flatten before the d2h: only the real sum(tlens)
+                # columns cross the ~20 MB/s tunnel link (the padded [TB, Lt]
+                # tensor cost 2.5 s/pass at bench scale)
+                starts = np.zeros(TB + 1, np.int64)
+                np.cumsum(b.tlens[:TB], out=starts[1:])
+                NF = max(1 << 20, 1 << int(int(starts[TB]) - 1).bit_length())
+                b._flat_starts = starts
+                dl = (flatten_packed(packed, jnp.asarray(starts, jnp.int32),
+                                     NF=NF),)
             for x in dl:
                 try:
                     x.copy_to_host_async()
@@ -728,10 +769,13 @@ def _correct_supergroup(store, engines, cands, groups, sg_ids,
                     b.tlens, tbatch_np, opts.min_cov, opts.min_size,
                     opts.raw_min_gap, overrides=overrides, cut_at=cuts)
             else:
-                pieces = compact_from_packed(np.asarray(dl[0]), b.tlens,
+                with timed("cns.download"):
+                    packed_h = np.asarray(dl[0])
+                pieces = compact_from_packed(packed_h, b.tlens,
                                              tbatch_np, opts.min_size,
                                              opts.raw_min_gap,
-                                             max_delta=D, min_run=min_run)
+                                             max_delta=D, min_run=min_run,
+                                             row_starts=b._flat_starts)
         records.extend(_emit_records(b, pieces, tbatch_np, opts))
     return records
 

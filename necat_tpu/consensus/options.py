@@ -45,10 +45,13 @@ class CnsOptions:
     buckets_per_supergroup: int | None = None
     pairs_per_chunk: int = 1024
     band_width: int = 128
-    # long-indel rescue: re-extend hanging pairs with a wider band, the TPU
-    # stand-in for the DALIGNER cascade (oc2cns -r, cns_options.c:19 default 0)
+    # long-indel rescue: re-extend hanging pairs with iteratively doubled
+    # bands (scale, 2*scale, ... max_scale) until the alignment reaches the
+    # chain-predicted range — the TPU stand-in for the unbounded DALIGNER
+    # O(nd) cascade (oc2cns -r, cns_options.c:19 default 0; align.c:382)
     rescue_long_indels: bool = False
     rescue_band_scale: int = 4
+    rescue_band_max_scale: int = 32
     # SMALL_MEMORY (oc2cns -s, read_id_pool.h:29-63): upload only the reads a
     # template supergroup touches instead of the whole store. Auto-enabled
     # when the read set exceeds the device store's 2^31-base limit.

@@ -50,8 +50,12 @@ class KmerIndex:
     bucket_starts: jax.Array  # int32[2^B + 1] — directory over hash top bits
     # binary-search step bound: ceil(log2(largest bucket)) + 1. The directory
     # narrows every query to one bucket, so searching log2(M) steps (25+ at
-    # 30M k-mers) wasted ~2.5x of the lookup; buckets are ~M/2^16 entries.
+    # 30M k-mers) wasted ~2.5x of the lookup; buckets are ~M/2^B entries.
     n_search_steps: int = 32
+    # run_end[i] = end of the equal-hash run containing i: one gather replaces
+    # the second (right-bound) binary search of the lookup (device gathers are
+    # the lookup's whole cost, ~45 M elem/s through XLA on this chip)
+    run_end: jax.Array | None = None
 
     @property
     def n_kmers(self) -> int:
@@ -78,15 +82,20 @@ class KmerIndex:
         offsets: np.ndarray,
         k: int = 15,
         occ_cutoff: int = 500,
-        n_bucket_bits: int = 16,
+        n_bucket_bits: int = 22,
     ) -> "KmerIndex":
         """Build from the volume's flat bases + read offsets (host sort, device arrays).
 
         The reference's multi-threaded radix sort (hash_list_bucket_sort.c) is
         the native C++ path (necat_tpu.native.build_kmer_index, LSD radix);
         NumPy argsort is the fallback when the native library is unavailable.
+
+        n_bucket_bits=22 (16 MB directory) keeps buckets to a handful of
+        entries even at E. coli scale, so the per-query binary search is 3-4
+        gather steps instead of 8.
         """
         assert k <= 15, "k must fit 30 bits (int32 device arrays)"
+        n_bucket_bits = min(n_bucket_bits, 2 * k)
         shift = 2 * k - n_bucket_bits
         assert shift >= 0
         from necat_tpu import native
@@ -101,6 +110,7 @@ class KmerIndex:
                 sorted_positions=jnp.asarray(sp, dtype=jnp.int32),
                 bucket_starts=jnp.asarray(bucket_starts, dtype=jnp.int32),
                 n_search_steps=_search_steps(bucket_starts),
+                run_end=jnp.asarray(_run_ends(sh), dtype=jnp.int32),
             )
         hashes = kmer_hashes_flat(bases, k)
         n = len(hashes)
@@ -127,6 +137,7 @@ class KmerIndex:
             sorted_positions=jnp.asarray(sp, dtype=jnp.int32),
             bucket_starts=jnp.asarray(bucket_starts, dtype=jnp.int32),
             n_search_steps=_search_steps(bucket_starts),
+            run_end=jnp.asarray(_run_ends(sh), dtype=jnp.int32),
         )
 
     def lookup_ranges(self, query_hashes: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -138,7 +149,18 @@ class KmerIndex:
         return _lookup_ranges(
             self.sorted_hashes, self.bucket_starts, query_hashes,
             2 * self.k - self.n_bucket_bits, self.occ_cutoff,
-            self.n_search_steps)
+            self.n_search_steps, run_end=self.run_end)
+
+
+def _run_ends(sh: np.ndarray) -> np.ndarray:
+    """run_end[i] = one past the last index of the equal-hash run holding i."""
+    n = len(sh)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    change = np.r_[sh[1:] != sh[:-1], True]
+    ends = np.flatnonzero(change) + 1            # end of each run, run-ordered
+    run_id = np.cumsum(np.r_[False, change[:-1]])
+    return ends[run_id].astype(np.int32)
 
 
 def _search_steps(bucket_starts) -> int:
@@ -149,13 +171,31 @@ def _search_steps(bucket_starts) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
 def _lookup_ranges(sorted_hashes, bucket_starts, qh, shift, occ_cutoff,
-                   n_steps: int | None = None):
+                   n_steps: int | None = None, run_end=None):
     bucket = (qh >> shift).astype(jnp.int32)
     lo = bucket_starts[bucket]
     hi = bucket_starts[bucket + 1]
-    # binary search for [first >= qh, first > qh) within [lo, hi)
+    # binary search for the left bound (first >= qh) within [lo, hi)
     if n_steps is None:
         n_steps = int(np.ceil(np.log2(max(2, sorted_hashes.shape[0])))) + 1
+    M = sorted_hashes.shape[0]
+
+    if run_end is not None:
+        # single search + one run_end gather (the right-bound search is the
+        # same number of gathers again; gathers are the whole lookup cost)
+        def body(_, state):
+            lo_l, hi_l = state
+            mid = (lo_l + hi_l) // 2
+            go_right = sorted_hashes[mid] < qh
+            return (jnp.where(go_right, mid + 1, lo_l),
+                    jnp.where(go_right, hi_l, mid))
+
+        lo_l, _ = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
+        safe = jnp.clip(lo_l, 0, M - 1)
+        hit = (lo_l < hi) & (sorted_hashes[safe] == qh)
+        count = jnp.where(hit, run_end[safe] - lo_l, 0)
+        count = jnp.where(count > occ_cutoff, 0, count)
+        return lo_l, count
 
     def body(_, state):
         lo_l, hi_l, lo_r, hi_r = state

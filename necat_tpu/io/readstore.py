@@ -72,6 +72,24 @@ class ReadStore:
         return cls(bases=bases, offsets=offsets, names=list(names))
 
     @classmethod
+    def concat(cls, stores: Sequence["ReadStore"]) -> "ReadStore":
+        """Merge stores WITHOUT materializing per-read Python lists (pdb_merge
+        role, src/common/packed_db.h:97) — one array concat per field, so a
+        100 Mb read set merges in milliseconds at ~2x transient memory."""
+        stores = list(stores)
+        if len(stores) == 1:
+            return stores[0]
+        if not stores:
+            return cls(bases=np.zeros(0, np.uint8),
+                       offsets=np.zeros(1, np.int64), names=[])
+        bases = np.concatenate([s.bases for s in stores])
+        sizes = np.concatenate([s.lengths for s in stores])
+        offsets = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        names = [n for s in stores for n in s.names]
+        return cls(bases=bases, offsets=offsets, names=names)
+
+    @classmethod
     def from_fasta(cls, path: str | os.PathLike, min_length: int = 0) -> "ReadStore":
         from necat_tpu import native
         parsed = native.read_seq_file(os.fspath(path))

@@ -149,9 +149,9 @@ def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int, max_seeds:
 
 
 def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offsets,
-                       batch, lens, soff_limit, *, k: int, shift: int,
-                       occ_cutoff: int, scan_window: int, opts: MapOptions,
-                       n_steps: int | None = None):
+                       batch, lens, soff_limit, run_end=None, *, k: int,
+                       shift: int, occ_cutoff: int, scan_window: int,
+                       opts: MapOptions, n_steps: int | None = None):
     """Pure fused candidate-detection step (hashing -> lookup -> hit expansion ->
     pair grouping -> chain DP). Used directly under jit and under shard_map
     (parallel/mesh.py). Returns dict of fixed-shape arrays including a packed
@@ -160,7 +160,7 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
 
     qh, qoffs, kvalid = query_kmer_hashes(batch, lens, k, scan_window)
     start, count = _lookup_ranges(sorted_hashes, bucket_starts, qh, shift,
-                                  occ_cutoff, n_steps)
+                                  occ_cutoff, n_steps, run_end=run_end)
     count = jnp.where(kvalid, count, 0)
     qrow, kcol, pos, valid, total = _expand_hits(start, count, sorted_positions,
                                                  soff_limit, opts.max_hits)
@@ -256,7 +256,8 @@ def find_candidates_batch(
             from necat_tpu.utils.device import tunnel_retry
             g = tunnel_retry(fn, index.sorted_hashes, index.sorted_positions,
                              index.bucket_starts, sub_offsets,
-                             jnp.asarray(batch), jnp.asarray(lens), soff_limit)
+                             jnp.asarray(batch), jnp.asarray(lens), soff_limit,
+                             index.run_end)
             for k_ in ("stats", "n_hits", "n_pairs"):
                 try:
                     g[k_].copy_to_host_async()

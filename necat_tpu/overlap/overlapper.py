@@ -78,7 +78,10 @@ def find_all_candidates(
                                                    occ_cutoff=opts.occ_cutoff)
                 index = icache[ikey]
     with timed("cand.devstore_init"):
-        qdev = get_devstore(qstore)
+        # huge query sets exceed the device word store's 2^31-base bound
+        # (volume-tiled runs): fall back to host-built padded batches
+        qdev = (get_devstore(qstore)
+                if qstore.total_bases < (1 << 31) else None)
         sub_off = jnp.asarray(sstore.offsets.astype(np.int32))
     sub_sizes = sstore.lengths.astype(np.int32)
     # start from the caps previous calls in this process escalated to: every
@@ -101,7 +104,12 @@ def find_all_candidates(
         pad = _bucket_len(int(qstore.lengths[qidx].max()))
         for qdir in (0, 1):
             with timed("cand.read_rows"):
-                batch = qdev.read_rows(qidx, np.full(len(qidx), bool(qdir)), pad)
+                if qdev is not None:
+                    batch = qdev.read_rows(qidx,
+                                           np.full(len(qidx), bool(qdir)), pad)
+                else:
+                    batch = qstore.padded_batch(qidx, pad_to=pad, multiple=1,
+                                                rc=bool(qdir))[0]
             lens = qstore.lengths[qidx].astype(np.int32)
             lens[n_real:] = 0  # padding rows produce no k-mers, hence no hits
             with timed("cand.batch_total"):
@@ -201,15 +209,19 @@ def extend_candidates(
     pairs_per_chunk: int = 1024,
     rescue_long_indels: bool = True,
     rescue_band_scale: int = 4,
+    rescue_band_max_scale: int = 32,
     progress: Optional[Callable[[str], None]] = None,
 ) -> M4Records:
     """Banded-extend candidates into M4 records (endpoints + identity).
 
     When `rescue_long_indels`, pairs whose alignment stopped >200 bp short of
-    the chain-predicted query range are re-extended with a `rescue_band_scale`x
-    wider band — the TPU replacement for the reference's DALIGNER O(nd) rescue
-    cascade (consensus_aux.c:123-215, asm_pm sensitive-daligner retry): a wider
-    band covers proportionally longer clustered indels."""
+    the chain-predicted query range are re-extended with ITERATIVELY DOUBLED
+    bands (rescue_band_scale, then x2 each rung up to rescue_band_max_scale)
+    until the alignment reaches the predicted range — the TPU replacement for
+    the reference's unbounded DALIGNER O(nd) rescue cascade
+    (consensus_aux.c:123-215, align.c:382 forward_wave): at max scale 16 the
+    2048-wide band crosses ~1 kb of clustered indels. The best (most-columns)
+    rung wins; a clean pair is never made worse (consensus_aux.c:203-213)."""
     from necat_tpu.align.engine import ExtendEngine, new_stats
     from necat_tpu.io.devstore import get_devstore
     n = len(cands)
@@ -219,18 +231,24 @@ def extend_candidates(
     engine = ExtendEngine(qdev, sdev, pairs_per_chunk)
     _extend_subset(cands, engine, np.arange(n), band_width, out, progress)
     if rescue_long_indels and n:
+        scale = rescue_band_scale
         bad = rescue_hangs(cands, np.arange(n), out["qoff"], out["qend"])
-        if len(bad):
+        n_resc = 0
+        while len(bad) and scale <= rescue_band_max_scale:
             prev = {k: out[k][bad].copy() for k in out if k != "lane"}
-            _extend_subset(cands, engine, bad, band_width * rescue_band_scale,
-                           out)
+            _extend_subset(cands, engine, bad, band_width * scale, out)
             # keep the wider-band result only where it aligned more columns
             # (reference falls back to the small-edlib result, :203-213)
             worse = out["n_cols"][bad] < prev["n_cols"]
             for k in prev:
                 out[k][bad[worse]] = prev[k][worse]
-            if progress:
-                progress(f"rescued {len(bad) - int(worse.sum())}/{len(bad)} hanging pairs")
+            n_resc += len(bad)
+            still = rescue_hangs(cands, bad, out["qoff"], out["qend"])
+            bad = still
+            scale *= 2
+        if progress and n_resc:
+            progress(f"rescue ladder: {len(bad)} pairs still hang after "
+                     f"band x{scale // 2}")
     keep = (out["n_cols"] >= min_align_size) & (out["ident"] >= min_ident)
     ki = np.flatnonzero(keep)
     return M4Records(
@@ -275,6 +293,27 @@ def overlap_all_vs_all(
         return extend_candidates(cands, store, store, min_align_size=min_align_size,
                                  min_ident=min_ident, band_width=band_width,
                                  progress=progress)
+    cands = candidates_by_volumes(store, opts, vol_size,
+                                  query_batch_size=query_batch_size,
+                                  progress=progress)
+    return extend_candidates(cands, store, store, min_align_size=min_align_size,
+                             min_ident=min_ident, band_width=band_width,
+                             progress=progress)
+
+
+def candidates_by_volumes(
+    store: ReadStore,
+    opts: MapOptions,
+    vol_size: int,
+    query_batch_size: int = 256,
+    progress: Optional[Callable[[str], None]] = None,
+) -> Candidates:
+    """Pairwise candidates with the subject side tiled into <= vol_size-base
+    volumes (oc2mkdb + per-volume oc2pmov, src/pm_one_volume/pm_worker.c:
+    283-335): bounds the k-mer index and device word-store footprint on large
+    read sets. Volume i is searched by all reads >= its first read (pairwise
+    self-suppression covers the diagonal tile), so the union over volumes is
+    exactly the single-volume candidate set."""
     vols = store.volumes(vol_size)
     parts = []
     for vi, (slo, shi) in enumerate(vols):
@@ -293,10 +332,7 @@ def overlap_all_vs_all(
         parts.append(cands)
         if progress:
             progress(f"volume {vi + 1}/{len(vols)} done")
-    cands = top_n_per_query(Candidates.concat(parts), opts.ncan)
-    return extend_candidates(cands, store, store, min_align_size=min_align_size,
-                             min_ident=min_ident, band_width=band_width,
-                             progress=progress)
+    return top_n_per_query(Candidates.concat(parts), opts.ncan)
 
 
 def map_reads_to_reference(

@@ -85,15 +85,16 @@ def sharded_candidates_fn(mesh: Mesh, *, k: int, shift: int, occ_cutoff: int,
                           occ_cutoff=occ_cutoff, scan_window=scan_window,
                           opts=opts, n_steps=n_steps)
 
-    def per_shard(sh, sp, bs, so, batch, lens, lim):
+    def per_shard(sh, sp, bs, so, batch, lens, lim, re):
         # shard_map passes arrays with the leading device axis sliced away
-        return f(sh[0], sp[0], bs[0], so[0], batch, lens, lim[0])
+        return f(sh[0], sp[0], bs[0], so[0], batch, lens, lim[0],
+                 run_end=re[0])
 
     shard = P(axis)
     repl = P()
     fn = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(shard, shard, shard, shard, repl, repl, shard),
+        in_specs=(shard, shard, shard, shard, repl, repl, shard, shard),
         out_specs=shard,
         check_vma=False,  # scan carries inside chain DP start replicated
     )
@@ -153,6 +154,7 @@ def build_sharded_index(store_bases: np.ndarray, store_offsets: np.ndarray,
     D = n_shards
     sh = np.zeros((D, max(m_max, 1)), np.int32)
     sp = np.zeros((D, max(m_max, 1)), np.int32)
+    re = np.zeros((D, max(m_max, 1)), np.int32)
     bs = np.zeros((D, idxs[0].bucket_starts.shape[0]), np.int32)
     so = np.full((D, ns_max), np.iinfo(np.int32).max, np.int32)
     for s, (idx, off) in enumerate(zip(idxs, offs)):
@@ -160,6 +162,7 @@ def build_sharded_index(store_bases: np.ndarray, store_offsets: np.ndarray,
         sh[s, :m] = np.asarray(idx.sorted_hashes)
         sh[s, m:] = np.iinfo(np.int32).max  # padding never matches a query hash
         sp[s, :m] = np.asarray(idx.sorted_positions)
+        re[s, :m] = np.asarray(idx.run_end)
         b = np.asarray(idx.bucket_starts)
         bs[s] = b
         so[s, :len(off)] = off
@@ -168,7 +171,7 @@ def build_sharded_index(store_bases: np.ndarray, store_offsets: np.ndarray,
                 offs=offs, k=k, occ_cutoff=occ_cutoff,
                 n_bucket_bits=idxs[0].n_bucket_bits)
     return (jnp.asarray(sh), jnp.asarray(sp), jnp.asarray(bs), jnp.asarray(so),
-            meta)
+            jnp.asarray(re), meta)
 
 
 class ShardedIndex:
@@ -179,7 +182,7 @@ class ShardedIndex:
                  n_bucket_bits: int = 14):
         self.mesh = mesh
         self.n_shards = mesh.size
-        sh, sp, bs, so, meta = build_sharded_index(
+        sh, sp, bs, so, re, meta = build_sharded_index(
             sstore.bases, sstore.offsets, self.n_shards, k=k,
             occ_cutoff=occ_cutoff, n_bucket_bits=n_bucket_bits)
         ax = mesh.axis_names[0]
@@ -188,6 +191,7 @@ class ShardedIndex:
         self.sp = jax.device_put(sp, shard)
         self.bs = jax.device_put(bs, shard)
         self.so = jax.device_put(so, shard)
+        self.re = jax.device_put(re, shard)
         self.meta = meta
         self.k = k
         self.occ_cutoff = occ_cutoff
@@ -245,7 +249,8 @@ def find_candidates_sharded(
                                    n_steps=index.meta["n_steps"])
         with timed("cand.dispatch"):
             g = fn(index.sh, index.sp, index.bs, index.so,
-                   jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim))
+                   jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim),
+                   index.re)
         with timed("cand.stats_sync"):
             st_all = np.asarray(g["stats"]).reshape(D, 9, -1)
         n_hits = int(np.asarray(g["n_hits"]).max())

@@ -118,13 +118,9 @@ def _read_input_list(cfg: Config) -> List[str]:
 
 
 def load_raw_reads(cfg: Config) -> ReadStore:
-    stores = [ReadStore.from_fasta(p, min_length=cfg.min_read_length)
-              for p in _read_input_list(cfg)]
-    if len(stores) == 1:
-        return stores[0]
-    seqs = [s.get(i) for s in stores for i in range(s.n_reads)]
-    names = [n for s in stores for n in s.names]
-    return ReadStore.from_seqs(seqs, names)
+    return ReadStore.concat(
+        [ReadStore.from_fasta(p, min_length=cfg.min_read_length)
+         for p in _read_input_list(cfg)])
 
 
 @dataclasses.dataclass
@@ -181,7 +177,17 @@ class Project:
                     copts, full_consensus=(it + 1 != cfg.num_iter),
                     small_memory=cfg.get("SMALL_MEMORY", "0").strip()
                     in ("1", "true"))
-                cands = find_all_candidates(cur, cur, mopts, pairwise=True)
+                # volume tiling (oc2mkdb 2 GB volumes, makedb/main.c:8):
+                # explicit VOL_SIZE, or automatic when the read set exceeds
+                # the device word store's 2^31-base bound
+                vol_size = int(float(cfg.get("VOL_SIZE", "0") or 0))
+                if vol_size <= 0 and cur.total_bases >= (1 << 31):
+                    vol_size = 2_000_000_000
+                if vol_size > 0:
+                    from necat_tpu.overlap.overlapper import candidates_by_volumes
+                    cands = candidates_by_volumes(cur, mopts, vol_size)
+                else:
+                    cands = find_all_candidates(cur, cur, mopts, pairwise=True)
                 call = Candidates.concat([cands, cands.swap_roles()])
                 stripe = (launcher.host_stripe(cur.n_reads, pid, nproc)
                           if nproc > 1 else None)
@@ -198,16 +204,17 @@ class Project:
                     ReadStore.from_seqs(seqs, names).to_fasta(
                         os.path.join(wd, f"it{it}.part{pid}.fasta.gz"))
                     launcher.barrier(f"correct:it{it}")
-                    parts = [ReadStore.from_fasta(
-                        os.path.join(wd, f"it{it}.part{p}.fasta.gz"))
-                        for p in range(nproc)]
-                    seqs = [s.get(i) for s in parts for i in range(s.n_reads)]
-                    names = [n for s in parts for n in s.names]
-                    order = sorted(range(len(names)),
-                                   key=lambda i: tuple(map(int, names[i].split("_")[:2])))
-                    seqs = [seqs[i] for i in order]
-                    names = [names[i] for i in order]
-                cur = ReadStore.from_seqs(seqs, names)
+                    merged = ReadStore.concat(
+                        [ReadStore.from_fasta(
+                            os.path.join(wd, f"it{it}.part{p}.fasta.gz"))
+                         for p in range(nproc)])
+                    order = sorted(
+                        range(merged.n_reads),
+                        key=lambda i: tuple(map(int,
+                                                merged.names[i].split("_")[:2])))
+                    cur = merged.subset(np.array(order, np.int64))
+                else:
+                    cur = ReadStore.from_seqs(seqs, names)
             # extract longest corrected to CNS_OUTPUT_COVERAGE (runCnsExtract)
             if cfg.genome_size > 0:
                 keep = cur.longest_to_coverage(cfg.genome_size, cfg.cns_output_coverage)
@@ -292,6 +299,20 @@ class Project:
                     for t in tiles:
                         f.write(f"{res.bubbles.names[bi]}\t{t.read}\t{t.orient}\t"
                                 f"{t.ctg_start}\t{t.ctg_end}\n")
+            # ol_filter's readinfos + coverage dumps (overlap_filter.hpp:
+            # 162-167): per-read mean identity and coverage min/max, plus the
+            # auto params the bridge stage consumes (contig_bridge.cpp:197-290)
+            json.dump({"min_identity": res.min_identity,
+                       "max_overhang": res.max_overhang},
+                      open(os.path.join(wd, "readinfos.json"), "w"))
+            if res.read_ident is not None:
+                with open(os.path.join(wd, "readinfos.txt"), "w") as f:
+                    for r in range(len(res.read_ident)):
+                        if np.isnan(res.read_ident[r]):
+                            continue
+                        cmin, cmax = (res.read_cov[r] if res.read_cov is not None
+                                      else (0, 0))
+                        f.write(f"{r}\t{res.read_ident[r]:.2f}\t{cmin}\t{cmax}\n")
             n50, _ = res.contigs.n50()
             logger.info("contigs: %d, total %d, N50 %d",
                         res.contigs.n_reads, res.contigs.total_bases, n50)
@@ -314,7 +335,15 @@ class Project:
             reads = load_raw_reads(self.cfg)
             bopts = BridgeOptions.from_string(
                 self.cfg.get("FSA_CTG_BRIDGE_OPTIONS", ""))
-            bridged = bridge_contigs(contigs, reads, opts=bopts)
+            ri_path = self.path("4-fsa", "readinfos.json")
+            readinfos = None
+            if os.path.exists(ri_path):
+                try:
+                    readinfos = json.load(open(ri_path))
+                except Exception:
+                    pass
+            bridged = bridge_contigs(contigs, reads, opts=bopts,
+                                     readinfos=readinfos)
             bridged.to_fasta(out)
 
         _stage(wd, "bridge", [ctg_path], [out],

@@ -45,9 +45,11 @@ def t(fn, *args, n=3, **kw):
 def main():
     rng = np.random.default_rng(0)
     W = 128
-    for (PB, L, real_frac) in [(512, 16384, 1.0), (512, 16384, 0.5),
-                               (256, 32768, 1.0), (256, 32768, 0.5),
-                               (512, 8192, 1.0)]:
+    import ast
+    cfgs = (ast.literal_eval(sys.argv[1]) if len(sys.argv) > 1 else
+            [(512, 16384, 1.0), (512, 16384, 0.5),
+             (256, 32768, 1.0), (256, 32768, 0.5), (512, 8192, 1.0)])
+    for (PB, L, real_frac) in cfgs:
         reallen = int(L * real_frac) - 64
         a = jnp.asarray(rng.integers(0, 4, (PB, L)), jnp.uint8)
         b = jnp.asarray(rng.integers(0, 4, (PB, L)), jnp.uint8)

@@ -190,3 +190,34 @@ def test_circular_genome_no_duplicated_wrap():
     # within 5% of the true cycle length — NOT genome + one read (+13%)
     assert main_len <= G * 1.05, f"contig {main_len} vs genome {G}"
     assert main_len >= G * 0.9, f"contig {main_len} vs genome {G}"
+
+
+def test_merge_similar_branches_beats_best_chain():
+    """Bubble-aware consensus (ConstructContig1, assembly.cpp:229-547):
+    similar compound-path branches vote out each other's errors — the merged
+    segment must be closer to the truth than the best chain alone (round-3
+    gap: best-chain-only emission)."""
+    from necat_tpu.assembly.contigs import merge_similar_branches
+    from necat_tpu.io import simulate
+
+    rng = np.random.default_rng(11)
+    truth = simulate.random_genome(4000, seed=12)
+    em = simulate.ErrorModel(0.004, 0.003, 0.003)   # ~1% per branch
+    backbone = simulate.mutate(truth, em, rng)
+    alts = [simulate.mutate(truth, em, rng) for _ in range(2)]
+    merged = merge_similar_branches(backbone, alts)
+
+    def ident(s):
+        return simulate.identity_to_genome(s, truth, 0, 0, len(truth))
+
+    assert ident(merged) > ident(backbone) + 0.3, \
+        (ident(merged), ident(backbone))
+
+
+def test_merge_similar_branches_single_branch_noop():
+    from necat_tpu.assembly.contigs import merge_similar_branches
+
+    rng = np.random.default_rng(4)
+    backbone = rng.integers(0, 4, 3000).astype(np.uint8)
+    out = merge_similar_branches(backbone, [])
+    assert np.array_equal(out, backbone)

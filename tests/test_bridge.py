@@ -124,14 +124,57 @@ def test_repeat_guard_avoids_chimeric_join():
                     return True
         return False
 
-    # guard ON (default): no chimera
+    # select_branch="one" (reference default): only one branching step per
+    # chain, so the walk cannot thread A->R->D
     out = bridge_contigs(contigs, raw,
                          opts=BridgeOptions(min_support=2, use_c2c=False))
-    assert not has_chimera(out), "ambiguity guard failed to prevent chimera"
+    assert not has_chimera(out), "branch policy failed to prevent chimera"
 
-    # guard OFF: the greedy chain creates the A-R-D chimera (sanity that the
-    # scenario actually exercises the guard)
+    # select_branch="best" follows every mutual-best edge and DOES create the
+    # A-R-D chimera (sanity that the scenario exercises the policy)
     out2 = bridge_contigs(contigs, raw,
                           opts=BridgeOptions(min_support=2, use_c2c=False,
-                                             ambiguity_ratio=2.0))
+                                             select_branch="best"))
     assert has_chimera(out2), "test scenario no longer produces the chimera"
+
+
+@pytest.mark.slow
+def test_contig_graph_chain_with_covered_edge():
+    """ContigGraph port (VERDICT r3 #6): a 4-contig chain where a long read
+    also supports the DIRECT c0->c2 link must still emit c1 between c0 and c2
+    (RemoveCoveredEdges turns the direct edge into a macro-edge,
+    contig_graph.cpp:135-204 + GetSeqArea covered_ recursion); the whole
+    chain joins into one bridged contig covering the genome."""
+    G = simulate.random_genome(36000, seed=77)
+    # c1 is SHORT (1.9 kb): the covered-edge rule fires only when the middle
+    # contig fits within 2 windows (GapLength algebra, contig_graph.cpp:147)
+    bounds = [(0, 10000), (10300, 12200), (12500, 23000), (23800, 36000)]
+    contigs = ReadStore.from_seqs([G[s:e].copy() for s, e in bounds],
+                                  [f"c{i}" for i in range(4)])
+    em = simulate.ErrorModel(sub=0.01, ins=0.01, dele=0.01)
+    rng = np.random.default_rng(19)
+    reads = []
+    # reads spanning c0-c1-c2 (placements on all three support c0->c1,
+    # c1->c2 AND the direct c0->c2 with shared reads -> covered macro-edge)
+    for s in (4000, 5000, 6000):
+        reads.append(simulate.mutate(G[s:s + 12000], em, rng))
+    # reads over the c2-c3 junction
+    for s in (19000, 20000, 21000):
+        reads.append(simulate.mutate(G[s:s + 10000], em, rng))
+    raw = ReadStore.from_seqs(reads)
+
+    bridged = bridge_contigs(contigs, raw,
+                             opts=BridgeOptions(min_support=2,
+                                                min_align_size=1500))
+    assert bridged.n_reads == 1, \
+        f"expected one bridged contig, got {bridged.n_reads}"
+    blen = int(bridged.lengths[0])
+    assert 0.95 * 36000 <= blen <= 1.05 * 36000, blen
+    # every contig's interior must appear (c1/c2 not skipped by the covered
+    # direct link): sample a unique 100-mer from each contig's middle
+    out = bridged.get(0)
+    canon = out.tobytes()
+    canon_rc = seqio.revcomp(out).tobytes()
+    for s, e in bounds:
+        probe = G[(s + e) // 2:(s + e) // 2 + 100].tobytes()
+        assert probe in canon or probe in canon_rc, f"contig [{s},{e}) missing"

@@ -202,3 +202,35 @@ def test_secondary_chains_find_split_alignment():
     spans = sorted((int(c.sbeg[i]), int(c.send[i])) for i in range(len(c)))
     assert spans[0][0] >= 1500 and spans[0][1] <= 8000
     assert spans[1][0] >= 19000 and spans[1][1] <= 25500
+
+
+def test_candidates_by_volumes_matches_untiled():
+    """Volume tiling (oc2mkdb 2 GB volumes, makedb/main.c:8-46): the union of
+    per-volume candidate passes must equal the single-volume pass (same pairs,
+    same chain endpoints) — the pipeline engages this path under VOL_SIZE /
+    the 2^31-base device bound (VERDICT r3 #8)."""
+    import numpy as np
+
+    from necat_tpu.io import simulate
+    from necat_tpu.io.readstore import ReadStore
+    from necat_tpu.overlap.options import MapOptions
+    from necat_tpu.overlap.overlapper import (candidates_by_volumes,
+                                              find_all_candidates)
+
+    genome = simulate.random_genome(30000, seed=5)
+    reads, *_ = simulate.simulate_reads(
+        genome, coverage=6, mean_len=6000, min_len=4000, max_len=8000,
+        em=simulate.ErrorModel(0.03, 0.03, 0.03), seed=6)
+    store = ReadStore.from_seqs(reads)
+    opts = MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=8192)
+
+    one = find_all_candidates(store, store, opts, pairwise=True)
+    tiled = candidates_by_volumes(store, opts, vol_size=40_000)
+
+    def keyset(c):
+        return sorted(zip(c.qid.tolist(), c.sid.tolist(), c.qdir.tolist(),
+                          c.qbeg.tolist(), c.qend.tolist(),
+                          c.sbeg.tolist(), c.send.tolist()))
+
+    assert len(tiled) == len(one) > 0
+    assert keyset(tiled) == keyset(one)
