@@ -166,6 +166,8 @@ def main() -> int:
     # drive correct -> trim -> assemble -> bridge -> polish through the real
     # Project stages on the same dataset; executables are already loaded from
     # the passes above, so these walls are steady-state stage costs.
+    t_extra0 = time.time()
+    extra_budget = float(os.environ.get("BENCH_EXTRA_BUDGET_S", 2400))
     stages = {}
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
         import shutil
@@ -207,7 +209,9 @@ def main() -> int:
     # at 4.6 Mb x 40X so the README headline is driver-reproducible. One pass
     # — the executables are warm, so this is the steady rate.
     ecoli = {}
-    if os.environ.get("BENCH_ECOLI", "1") != "0":
+    if time.time() - t_extra0 > extra_budget:
+        ecoli = {"skipped": f"extra budget {extra_budget:.0f}s exhausted"}
+    elif os.environ.get("BENCH_ECOLI", "1") != "0":
         try:
             _, est, _ = gen_benchmark_reads(genome_size=4_600_000,
                                             coverage=40, seed=7)

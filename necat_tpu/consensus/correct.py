@@ -183,6 +183,7 @@ def correct_reads(
             engines = [ExtendEngine(d, d, opts.pairs_per_chunk)
                        for d in (get_devstore(store, device=dv)
                                  for dv in devices)]
+    ctxs = []
     for s in range(0, len(tids_sorted), SG):
         sg_ids = tids_sorted[s:s + SG]
         if small_memory:
@@ -201,9 +202,14 @@ def correct_reads(
         else:
             sg_engines = engines
             id_map = None
-        records.extend(_correct_supergroup(
-            store, sg_engines, cands, groups, sg_ids, opts,
-            template_cuts or {}, id_map=id_map))
+        ctxs.append(_run_supergroup(store, sg_engines, cands, groups,
+                                    sg_ids, opts, id_map=id_map))
+    # compaction AFTER all supergroups: each supergroup's async d2h download
+    # completes while the next one's waves run on the device, so the host
+    # decode never stalls the dispatch stream
+    for ctx in ctxs:
+        records.extend(_compact_supergroup(store, ctx, opts,
+                                           template_cuts or {}))
     return records
 
 
@@ -674,10 +680,13 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
         b.weights, b.covten = tensors[bi]
 
 
-def _correct_supergroup(store, engines, cands, groups, sg_ids,
-                        opts: CnsOptions,
-                        template_cuts: dict | None = None,
-                        id_map: np.ndarray | None = None) -> List[CnsRecord]:
+def _run_supergroup(store, engines, cands, groups, sg_ids,
+                    opts: CnsOptions,
+                    id_map: np.ndarray | None = None):
+    """Wave phase of one supergroup: extension waves + consensus call + async
+    download issue. Returns the context `_compact_supergroup` consumes (no
+    engine references, so SMALL_MEMORY per-supergroup device stores stay
+    collectable)."""
     def local_ids(global_ids):
         """Map global read ids to the supergroup devstore's id space
         (identity unless SMALL_MEMORY built a per-supergroup store)."""
@@ -743,6 +752,17 @@ def _correct_supergroup(store, engines, cands, groups, sg_ids,
                     pass
             dl_list.append(dl)
             b.weights = b.covten = None     # free the tensors early
+    return dict(buckets=buckets, dl_list=dl_list, tpls=tpls,
+                use_stream=use_stream)
+
+
+def _compact_supergroup(store, ctx, opts: CnsOptions,
+                        template_cuts: dict | None = None) -> List[CnsRecord]:
+    """Host compaction phase (see _run_supergroup)."""
+    TB = opts.templates_per_batch
+    D = opts.max_delta
+    buckets, dl_list, tpls = ctx["buckets"], ctx["dl_list"], ctx["tpls"]
+    use_stream = ctx["use_stream"]
     records: List[CnsRecord] = []
     for bi, (b, dl) in enumerate(zip(buckets, dl_list)):
         b._index = bi
@@ -816,7 +836,7 @@ def _bucket_hot_overrides(store, b: _Bucket, tpls, hot: np.ndarray,
         row_ovr: dict = {}
         for (rs, re) in regions:
             lo, hi = max(0, rs - pad), min(n, re + pad)
-            if hi - lo > 4000:
+            if hi - lo > 20000:
                 continue                      # structural-scale; out of scope
             t_local = tbatch_np[row, lo:hi].astype(np.uint8)
             # 1. extract the read segments spanning the window (semiglobal

@@ -62,15 +62,28 @@ def tags_from_ops(ops: np.ndarray, n_ops: int, qbases: np.ndarray,
     return tags
 
 
-def host_edit_ops(q: np.ndarray, t: np.ndarray):
+def host_edit_ops(q: np.ndarray, t: np.ndarray, band: int | None = None):
     """Query-semiglobal edit-distance alignment of q vs t on the host: the
     full template window must be consumed, query overhangs on both sides are
     free. Returns (ops, q_start, q_end) — the op string (banded.OP_*
     encoding, forward order) covering q[q_start:q_end] vs all of t.
     Row-vectorized numpy DP (the in-row insertion chain resolved with the
-    same cummin trick as the device kernel); hotspot windows only."""
+    same cummin trick as the device kernel).
+
+    Beyond ~4 Mcells the DP runs BANDED around the rescaled diagonal
+    (j in [i*m/n - band, i*m/n + band]): hotspot/junction windows are
+    high-identity local alignments whose paths hug the diagonal, and the full
+    O(nm) matrix was the round-3 4 kb region cap (VERDICT #10). Cells outside
+    the band read as +INF; the free-lead column 0 stays free only while in
+    band (true starts sit near diagonal 0)."""
     from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS
     n, m = len(q), len(t)
+    if n == 0 or m == 0:
+        return np.full(m, OP_DEL, np.uint8), 0, 0
+    if band is None and n * m > (1 << 22):
+        band = max(256, abs(n - m) + 256 + min(n, m) // 16)
+    if band is not None and band * 2 + 1 < m:
+        return _host_edit_ops_banded(q, t, band)
     D = np.zeros((n + 1, m + 1), np.int32)
     D[0] = np.arange(m + 1)
     ar = np.arange(m + 1, dtype=np.int32)
@@ -95,6 +108,72 @@ def host_edit_ops(q: np.ndarray, t: np.ndarray):
         else:
             ops.append(OP_DEL)
             j -= 1
+    return np.array(ops[::-1], np.uint8), i, q_end
+
+
+def _host_edit_ops_banded(q: np.ndarray, t: np.ndarray, band: int):
+    """Banded form of host_edit_ops: row i covers template columns
+    [c_i - band, c_i + band] with c_i = i*m//n. Identical output when the
+    optimal path stays inside the band."""
+    from necat_tpu.align.banded import OP_DEL, OP_DIAG, OP_INS
+    INF = np.int32(1 << 28)
+    n, m = len(q), len(t)
+    W = 2 * band + 1
+    lo = np.minimum(np.maximum((np.arange(n + 1, dtype=np.int64) * m) // n
+                               - band, 0), max(m - W, 0)).astype(np.int64)
+    D = np.full((n + 1, W), INF, np.int32)
+    j0 = np.arange(W, dtype=np.int32)
+    D[0] = np.where(lo[0] + j0 <= m, (lo[0] + j0).astype(np.int32), INF)
+    ar = np.arange(W, dtype=np.int32)
+    for i in range(1, n + 1):
+        s = int(lo[i] - lo[i - 1])          # band shift vs previous row
+        prev = D[i - 1]
+        # previous-row values aligned to THIS row's band positions
+        if s > 0:
+            al = np.concatenate([prev[s:], np.full(s, INF, np.int32)])
+        else:
+            al = prev
+        # diag neighbor (i-1, j-1) = aligned position p-1; up (i-1, j) = p
+        diag = np.concatenate(([INF], al[:-1]))
+        j_here = lo[i] + j0
+        sub = np.where(j_here >= 1,
+                       (t[np.minimum(j_here - 1, m - 1)] != q[i - 1]), 1
+                       ).astype(np.int32)
+        base = np.minimum(np.minimum(diag + sub, INF), np.minimum(al + 1, INF))
+        base = np.where(j_here == 0, 0, base)          # free lead column
+        base = np.where(j_here > m, INF, base)
+        row = np.minimum.accumulate(base - ar) + ar
+        D[i] = np.minimum(row, INF)
+    pm = m - lo
+    valid = (pm >= 0) & (pm < W)
+    endcol = np.where(valid, D[np.arange(n + 1), np.clip(pm, 0, W - 1)], INF)
+    i = int(np.argmin(endcol))
+    j = m
+    q_end = i
+    ops = []
+    while j > 0:
+        p = j - int(lo[i])
+        here = D[i, p] if 0 <= p < W else INF
+        pd = j - 1 - int(lo[i - 1]) if i > 0 else -1
+        pu = j - int(lo[i - 1]) if i > 0 else -1
+        dv = D[i - 1, pd] if i > 0 and 0 <= pd < W else INF
+        uv = D[i - 1, pu] if i > 0 and 0 <= pu < W else INF
+        pl = j - 1 - int(lo[i])
+        lv = D[i, pl] if 0 <= pl < W else INF
+        if i > 0 and here == dv + (q[i - 1] != t[j - 1]):
+            ops.append(OP_DIAG)
+            i -= 1
+            j -= 1
+        elif i > 0 and here == uv + 1:
+            ops.append(OP_INS)
+            i -= 1
+        else:
+            ops.append(OP_DEL)
+            j -= 1
+            if lv >= INF and here >= INF:
+                # out-of-band walk (path escaped the band): emit DELs home
+                ops.extend([OP_DEL] * j)
+                j = 0
     return np.array(ops[::-1], np.uint8), i, q_end
 
 

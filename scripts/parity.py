@@ -116,7 +116,9 @@ def run_ours(args, cfg_path, wd):
         elif stage == "assemble":
             prj.run_assemble()
         elif stage == "bridge":
-            prj.run_bridge()
+            out = prj.run_bridge()
+            if cfg.polish:
+                prj.run_polish(out, "final")
         res[f"{stage}_wall_s"] = round(time.time() - t0, 1)
     return res
 
@@ -161,7 +163,8 @@ def main():
         f"NUM_ITER={args.num_iter}\nCNS_OUTPUT_COVERAGE=30\nCLEANUP=0\n"
         "USE_GRID=false\nGRID_NODE=0\nGRID_OPTIONS=\nSMALL_MEMORY=0\n"
         "FSA_OL_FILTER_OPTIONS=\nFSA_ASSEMBLE_OPTIONS=\nFSA_CTG_BRIDGE_OPTIONS=\n"
-        "POLISH_CONTIGS=false\n")
+        + ("POLISH_CONTIGS=true\n" if "bridge" in args.stages
+           else "POLISH_CONTIGS=false\n"))
     ref_cfg = os.path.join(args.workdir, "ref.cfg")
     with open(ref_cfg, "w") as f:
         f.write("PROJECT=ref_prj\n" + cfg_common)
@@ -180,9 +183,17 @@ def main():
                       "tpu_prj/1-consensus/cns_final.fasta.gz"),
         "contigs": ("ref_prj/4-fsa/contigs.fasta",
                     "tpu_prj/4-fsa/contigs.fasta"),
+        # BASELINE.json's remaining artifacts (ref README.md:117-140)
+        "bridged_contigs": ("ref_prj/6-bridge_contigs/bridged_contigs.fasta",
+                            "tpu_prj/6-bridge_contigs/bridged_contigs.fasta"),
+        "polished_contigs": ("ref_prj/6-bridge_contigs/polished_contigs.fasta",
+                             "tpu_prj/polished_contigs.fasta"),
     }
     if "assemble" not in args.stages:
         pairs.pop("contigs")
+    if "bridge" not in args.stages:
+        pairs.pop("bridged_contigs")
+        pairs.pop("polished_contigs")
     for label, (ref_rel, tpu_rel) in pairs.items():
         for side, rel in (("reference", ref_rel), ("necat_tpu", tpu_rel)):
             path = os.path.join(args.workdir, rel)

@@ -90,3 +90,30 @@ def test_linkdp_recovers_template_and_matches_majority():
     # the order-preserving approximation of the link DP)
     agree = simulate.identity_to_genome(seq_mv, seq_dp, 0, 0, len(seq_dp))
     assert agree >= 99.0, f"majority vs link-DP agreement {agree}"
+
+
+def test_banded_host_edit_ops_matches_full():
+    """The banded host DP (hotspot windows beyond the old 4 kb cap,
+    VERDICT r3 #10) must reproduce the full-matrix alignment for
+    diagonal-hugging inputs."""
+    import numpy as np
+
+    from necat_tpu.consensus.linkdp import _host_edit_ops_banded, host_edit_ops
+    from necat_tpu.io import simulate
+
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 4, 3000).astype(np.uint8)
+    em = simulate.ErrorModel(0.04, 0.04, 0.04)
+    q = simulate.mutate(t, em, rng)
+    ops_f, qs_f, qe_f = host_edit_ops(q, t, band=None)
+    ops_b, qs_b, qe_b = _host_edit_ops_banded(q, t, band=300)
+    assert (qs_f, qe_f) == (qs_b, qe_b)
+    assert np.array_equal(ops_f, ops_b)
+
+    # a 150 bp planted insertion shifts the diagonal; the auto band covers it
+    ins = rng.integers(0, 4, 150).astype(np.uint8)
+    q2 = np.concatenate([q[:1500], ins, q[1500:]])
+    ops_f2, qs2, qe2 = host_edit_ops(q2, t, band=None)
+    ops_b2, qs2b, qe2b = _host_edit_ops_banded(q2, t, band=450)
+    assert (qs2, qe2) == (qs2b, qe2b)
+    assert np.array_equal(ops_f2, ops_b2)
