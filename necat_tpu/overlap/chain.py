@@ -20,6 +20,12 @@ import jax.numpy as jnp
 NEG = -(1 << 28)
 
 
+CHAIN_SLICE = 8192   # pairs per lax.map slice: the DP builds [P, S, S]
+                     # transition tensors (~8 intermediates); unsliced at the
+                     # escalated max_pairs=131072 cap that is ~15 GB of HBM
+                     # traffic per op and stalls/OOMs the chip
+
+
 @functools.partial(jax.jit, static_argnames=("kmer_size", "max_dist", "bw"))
 def chain_pairs(qoff, soff, seed_mask, kmer_size: int, max_dist: int = 5000, bw: int = 500):
     """Chain seeds for a batch of pairs.
@@ -34,6 +40,23 @@ def chain_pairs(qoff, soff, seed_mask, kmer_size: int, max_dist: int = 5000, bw:
       score int32[P], n_seeds int32[P], qbeg/qend/sbeg/send int32[P],
       anchor_q/anchor_s int32[P] (a seed near the middle of the chain).
     """
+    P, S = qoff.shape
+    if P > CHAIN_SLICE and P % CHAIN_SLICE == 0:
+        n = P // CHAIN_SLICE
+
+        def one(args):
+            q, s, m = args
+            return _chain_pairs_impl(q, s, m, kmer_size, max_dist, bw)
+
+        outs = jax.lax.map(one, (qoff.reshape(n, CHAIN_SLICE, S),
+                                 soff.reshape(n, CHAIN_SLICE, S),
+                                 seed_mask.reshape(n, CHAIN_SLICE, S)))
+        return {k: v.reshape(P) for k, v in outs.items()}
+    return _chain_pairs_impl(qoff, soff, seed_mask, kmer_size, max_dist, bw)
+
+
+def _chain_pairs_impl(qoff, soff, seed_mask, kmer_size: int, max_dist: int,
+                      bw: int):
     P, S = qoff.shape
     i32 = jnp.int32
     q = qoff.astype(i32)

@@ -260,7 +260,9 @@ def find_candidates_sharded(
             hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
             grow = True
         if n_pairs >= pcap and pcap < (1 << 17):
-            hits_cap[1] = min(pcap * 4, 1 << 17)
+            # x2 (not x4): chain DP cost is linear in the pair cap and the
+            # x4 ladder overshot to 131072 for a 33k-pair E. coli batch
+            hits_cap[1] = min(pcap * 2, 1 << 17)
             grow = True
         if not grow:
             break
