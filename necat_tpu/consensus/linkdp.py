@@ -120,7 +120,7 @@ def _host_edit_ops_banded(q: np.ndarray, t: np.ndarray, band: int):
     n, m = len(q), len(t)
     W = 2 * band + 1
     lo = np.minimum(np.maximum((np.arange(n + 1, dtype=np.int64) * m) // n
-                               - band, 0), max(m - W, 0)).astype(np.int64)
+                               - band, 0), max(m - W + 1, 0)).astype(np.int64)
     D = np.full((n + 1, W), INF, np.int32)
     j0 = np.arange(W, dtype=np.int32)
     D[0] = np.where(lo[0] + j0 <= m, (lo[0] + j0).astype(np.int32), INF)

@@ -105,7 +105,7 @@ def test_banded_host_edit_ops_matches_full():
     t = rng.integers(0, 4, 3000).astype(np.uint8)
     em = simulate.ErrorModel(0.04, 0.04, 0.04)
     q = simulate.mutate(t, em, rng)
-    ops_f, qs_f, qe_f = host_edit_ops(q, t, band=None)
+    ops_f, qs_f, qe_f = host_edit_ops(q, t, band=1 << 30)   # force full DP
     ops_b, qs_b, qe_b = _host_edit_ops_banded(q, t, band=300)
     assert (qs_f, qe_f) == (qs_b, qe_b)
     assert np.array_equal(ops_f, ops_b)
@@ -113,7 +113,7 @@ def test_banded_host_edit_ops_matches_full():
     # a 150 bp planted insertion shifts the diagonal; the auto band covers it
     ins = rng.integers(0, 4, 150).astype(np.uint8)
     q2 = np.concatenate([q[:1500], ins, q[1500:]])
-    ops_f2, qs2, qe2 = host_edit_ops(q2, t, band=None)
+    ops_f2, qs2, qe2 = host_edit_ops(q2, t, band=1 << 30)
     ops_b2, qs2b, qe2b = _host_edit_ops_banded(q2, t, band=450)
     assert (qs2, qe2) == (qs2b, qe2b)
     assert np.array_equal(ops_f2, ops_b2)
