@@ -84,11 +84,11 @@ def test_transitive_reduction():
 
 @pytest.mark.slow
 def test_assembly_end_to_end():
-    G = 60000
+    G = 40000
     genome = simulate.random_genome(G, seed=8)
     em = simulate.ErrorModel(sub=0.004, ins=0.003, dele=0.003)
     reads, st, sd, ln = simulate.simulate_reads(
-        genome, coverage=10, mean_len=8000, min_len=4000, max_len=12000, em=em,
+        genome, coverage=9, mean_len=7000, min_len=4000, max_len=10000, em=em,
         seed=14, circular=False)
     rs = ReadStore.from_seqs(reads)
     m4 = overlap_all_vs_all(rs, MapOptions(kmer_size=13, max_hits=1 << 19, max_pairs=4096),

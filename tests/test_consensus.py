@@ -369,10 +369,10 @@ def test_mm_scatter_wide_delta_matches_oracle():
 def test_small_memory_mode_matches_default():
     """SMALL_MEMORY (oc2cns -s): per-supergroup device stores must produce
     byte-identical corrected output."""
-    G = 20000
+    G = 14000
     genome = simulate.random_genome(G, seed=33)
     reads, *_ = simulate.simulate_reads(
-        genome, coverage=7, mean_len=4500, min_len=3000, max_len=6000, seed=34)
+        genome, coverage=6, mean_len=4000, min_len=3000, max_len=5500, seed=34)
     rs = ReadStore.from_seqs(reads)
     idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
     opts = MapOptions(kmer_size=13, max_hits=1 << 18, max_pairs=4096)
@@ -398,10 +398,10 @@ def test_small_memory_mode_matches_default():
 from dataclasses import replace as dataclasses_replace  # noqa: E402
 
 
-def _small_call(G=20000, gseed=33, rseed=34, coverage=7):
+def _small_call(G=12000, gseed=33, rseed=34, coverage=6):
     genome = simulate.random_genome(G, seed=gseed)
     reads, *_ = simulate.simulate_reads(
-        genome, coverage=coverage, mean_len=4500, min_len=3000, max_len=6000,
+        genome, coverage=coverage, mean_len=4000, min_len=3000, max_len=5500,
         seed=rseed)
     rs = ReadStore.from_seqs(reads)
     idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
@@ -444,7 +444,8 @@ def test_fused_matches_legacy_rescue():
     path runs it by deferral + replay; consensus_aux.c:152-213)."""
     rs, call = _small_call(gseed=55, rseed=56)
     co = CnsOptions(templates_per_batch=4, pairs_per_chunk=32,
-                    buckets_per_supergroup=2, rescue_long_indels=True)
+                    buckets_per_supergroup=2, rescue_long_indels=True,
+                    rescue_band_max_scale=8)   # equality, not ladder depth
     recs_a = correct_reads(rs, call, dataclasses_replace(co, fused=False))
     recs_b = correct_reads(rs, call, dataclasses_replace(co, fused=True))
     assert any(r.corrected for r in recs_a)

@@ -40,9 +40,9 @@ def test_init_multihost_single_process(monkeypatch):
 
 @pytest.mark.slow
 def test_correct_reads_stripe_union_matches_full():
-    genome = simulate.random_genome(20000, seed=5)
+    genome = simulate.random_genome(12000, seed=5)
     reads, st, sd, ln = simulate.simulate_reads(
-        genome, coverage=7, mean_len=4000, min_len=2500, max_len=6000, seed=11)
+        genome, coverage=6, mean_len=3500, min_len=2500, max_len=5000, seed=11)
     rs = ReadStore.from_seqs(reads)
     idx = KmerIndex.build(rs.bases, rs.offsets, k=13, occ_cutoff=500)
     opts = MapOptions(kmer_size=13, max_hits=1 << 19, max_pairs=4096)

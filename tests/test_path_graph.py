@@ -135,17 +135,17 @@ def test_assemble_heterozygous_bubble_emits_alternate():
     """Diploid-style genome: two haplotypes sharing flanks with a divergent
     middle -> assembly should still produce contigs and classify bubbles."""
     rng = np.random.default_rng(3)
-    flank1 = rng.integers(0, 4, 8000).astype(np.uint8)
-    mid_a = rng.integers(0, 4, 6000).astype(np.uint8)
-    mid_b = rng.integers(0, 4, 6000).astype(np.uint8)  # fully divergent
-    flank2 = rng.integers(0, 4, 8000).astype(np.uint8)
+    flank1 = rng.integers(0, 4, 5000).astype(np.uint8)
+    mid_a = rng.integers(0, 4, 4000).astype(np.uint8)
+    mid_b = rng.integers(0, 4, 4000).astype(np.uint8)  # fully divergent
+    flank2 = rng.integers(0, 4, 5000).astype(np.uint8)
     hap_a = np.concatenate([flank1, mid_a, flank2])
     hap_b = np.concatenate([flank1, mid_b, flank2])
     from necat_tpu.io.simulate import ErrorModel
     reads, names = [], []
     for hap, tag in ((hap_a, "a"), (hap_b, "b")):
-        rds, _, _, _ = simulate_reads(hap, coverage=8, mean_len=4000,
-                                      min_len=2000, max_len=8000,
+        rds, _, _, _ = simulate_reads(hap, coverage=7, mean_len=3500,
+                                      min_len=2000, max_len=6000,
                                       em=ErrorModel(0.005, 0.005, 0.005),
                                       seed=5 + ord(tag), circular=False)
         for i, r in enumerate(rds):
@@ -158,4 +158,4 @@ def test_assemble_heterozygous_bubble_emits_alternate():
     res = assemble(store, m4, FilterOptions(), min_contig_length=1000)
     assert res.contigs.n_reads >= 1
     total = res.contigs.total_bases
-    assert total >= 15000  # at least one haplotype path reconstructed
+    assert total >= 10000  # at least one haplotype path reconstructed

@@ -110,8 +110,8 @@ def test_consensus_rescue_smoke():
     from necat_tpu.overlap.options import MapOptions
     from necat_tpu.overlap.overlapper import find_all_candidates
 
-    genome = random_genome(20000, seed=2)
-    reads, *_ = simulate_reads(genome, coverage=10, mean_len=6000, min_len=3000,
+    genome = random_genome(12000, seed=2)
+    reads, *_ = simulate_reads(genome, coverage=8, mean_len=5000, min_len=3000,
                                max_len=9000, em=ErrorModel(0.04, 0.04, 0.04), seed=3)
     store = ReadStore.from_seqs(reads)
     cands = find_all_candidates(store, store, MapOptions(), pairwise=True)
