@@ -89,7 +89,11 @@ def find_all_candidates(
     # remote compile service), so later passes/iterations should not re-walk
     # the ladder. (A k-mer-multiplicity estimate was tried and mispredicts:
     # error k-mers dominate the distinct count.)
-    ck = (opts.kmer_size, opts.scan_window, query_batch_size)
+    # the subject-size bucket keeps caps learned at E. coli scale from
+    # inflating the buffers (and their sort cost) of small runs
+    ck = (opts.kmer_size, opts.scan_window, query_batch_size,
+          int(sstore.total_bases).bit_length())
+    _load_learned_caps()
     learned = _LEARNED_CAPS.get(ck)
     hits_cap = [max(opts.max_hits, learned[0]) if learned else opts.max_hits,
                 max(opts.max_pairs, learned[1]) if learned else opts.max_pairs]
@@ -127,14 +131,51 @@ def find_all_candidates(
                         hits_cap=hits_cap))
         if progress:
             progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")
-    _LEARNED_CAPS[ck] = (hits_cap[0], hits_cap[1])
+    if _LEARNED_CAPS.get(ck) != (hits_cap[0], hits_cap[1]):
+        _LEARNED_CAPS[ck] = (hits_cap[0], hits_cap[1])
+        _save_learned_caps()
     with timed("cand.topn"):
         cands = Candidates.concat(parts)
         return top_n_per_query(cands, opts.ncan)
 
 
-# caps learned by escalation, reused by later calls in this process
+# caps learned by escalation, reused by later calls in this process AND
+# persisted next to the compile cache: every escalation step recompiles the
+# candidate program (minutes through the remote compile service at E. coli
+# scale), so fresh processes (the driver's bench, pipeline reruns) should
+# start from the caps prior runs converged to.
 _LEARNED_CAPS: dict = {}
+
+
+def _caps_path():
+    import os
+    d = os.environ.get("NECAT_TPU_JAX_CACHE")
+    return os.path.join(d, "learned_caps.json") if d else None
+
+
+def _load_learned_caps() -> None:
+    import json
+    import os
+    p = _caps_path()
+    if not p or _LEARNED_CAPS or not os.path.exists(p):
+        return
+    try:
+        for k, v in json.load(open(p)).items():
+            _LEARNED_CAPS[tuple(int(x) for x in k.split(","))] = tuple(v)
+    except Exception:
+        pass
+
+
+def _save_learned_caps() -> None:
+    import json
+    p = _caps_path()
+    if not p:
+        return
+    try:
+        json.dump({",".join(str(x) for x in k): list(v)
+                   for k, v in _LEARNED_CAPS.items()}, open(p, "w"))
+    except Exception:
+        pass
 
 
 def subject_windows(cands: Candidates, margin: int = 600) -> tuple[np.ndarray, np.ndarray]:
