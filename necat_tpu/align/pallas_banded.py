@@ -299,6 +299,16 @@ def banded_forward_pallas(a, b, la, lb, W: int, max_cols: int,
 CBLK_BT = 128    # columns per backtrack grid block (lane dim of the cols output)
 
 
+def _pick_cblk_bt(SUB: int, W: int) -> int:
+    """Columns per backtrack grid block: the dirs in-block (SUB*cblk*W bytes,
+    double-buffered) must fit scoped VMEM even at rescue-ladder widths
+    (W=8192 with the fixed 128-column block overflowed the 16 MB limit)."""
+    cblk = CBLK_BT
+    while SUB * cblk * W * 2 > (10 << 20) and cblk > 8:
+        cblk //= 2
+    return cblk
+
+
 def _pick_sub_bt(PB: int, W: int) -> int:
     """Pair batch per backtrack grid step: dirs blocks (SUB*CBLK_BT*W bytes,
     double-buffered) must fit VMEM."""
@@ -313,7 +323,7 @@ N_INSB = 7       # inserted bases emitted per column end (= max_delta - 1)
 
 
 def _backtrack_kernel(dirs_ref, la_ref, lb_ref, *out_refs, W: int, SUB: int,
-                      WORDS: int):
+                      WORDS: int, CBLK: int = CBLK_BT):
     """Walk the optimal path backward from (la, lb), one TARGET COLUMN per
     step (insertion runs within a column are collapsed via a lane scan).
     Grid: (PB//SUB, n_jb) with blocks visited high column -> low (reversed
@@ -335,7 +345,6 @@ def _backtrack_kernel(dirs_ref, la_ref, lb_ref, *out_refs, W: int, SUB: int,
     insb_refs = out_refs[1:1 + WORDS]
     fslot_ref = out_refs[1 + WORDS]
     cur_ref = out_refs[2 + WORDS]
-    CBLK = CBLK_BT
     jb = pl.program_id(1)
     n_jb = pl.num_programs(1)
     ob = n_jb - 1 - jb                       # original column block index
@@ -438,26 +447,28 @@ def banded_backtrack_cols(dirs, la, lb, W: int, max_cols: int,
     Requires the static band schedule of banded_forward_pallas. `words` insb
     words extend the recoverable insertion-run length to 7*words."""
     PB, MC, Wd = dirs.shape
-    assert Wd == W and MC % CBLK_BT == 0 and MC >= max_cols
     SUB = _pick_sub_bt(PB, W)
-    n_jb = MC // CBLK_BT
+    cblk = _pick_cblk_bt(SUB, W)
+    assert Wd == W and MC % cblk == 0 and MC >= max_cols
+    n_jb = MC // cblk
     la = jnp.asarray(la, jnp.int32)
     lb = jnp.asarray(lb, jnp.int32)
     la_v = jnp.broadcast_to(la[:, None], (PB, 128))
     lb_v = jnp.broadcast_to(lb[:, None], (PB, 128))
     rev = lambda pb, jb: (pb, n_jb - 1 - jb)
-    kern = functools.partial(_backtrack_kernel, W=W, SUB=SUB, WORDS=words)
+    kern = functools.partial(_backtrack_kernel, W=W, SUB=SUB, WORDS=words,
+                             CBLK=cblk)
     out = pl.pallas_call(
         kern,
         grid=(PB // SUB, n_jb),
         in_specs=[
-            pl.BlockSpec((SUB, CBLK_BT * W), rev),
+            pl.BlockSpec((SUB, cblk * W), rev),
             pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
             pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),
         ],
         out_specs=(
-            (pl.BlockSpec((SUB, CBLK_BT), rev),)
-            + (pl.BlockSpec((SUB, CBLK_BT), rev),) * words
+            (pl.BlockSpec((SUB, cblk), rev),)
+            + (pl.BlockSpec((SUB, cblk), rev),) * words
             + (pl.BlockSpec((SUB, 128), lambda pb, jb: (pb, 0)),)
         ),
         out_shape=(

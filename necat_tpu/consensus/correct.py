@@ -412,7 +412,8 @@ def _run_waves_legacy(engines, cands, tpls, buckets, opts: CnsOptions,
                 # cns_extension rescue trigger (consensus_aux.c:152-157) with
                 # the band-doubling ladder (same rungs as the fused path)
                 scale = opts.rescue_band_scale
-                while scale <= opts.rescue_band_max_scale:
+                while (scale <= opts.rescue_band_max_scale
+                       and opts.band_width * scale <= shapes.MAX_BAND):
                     lhang = np.maximum(stats["qoff"] - cands.qbeg[p_ci], 0)
                     rhang = np.maximum(cands.qend[p_ci] - stats["qend"], 0)
                     bad = np.flatnonzero((lhang + rhang) > 200)
@@ -581,7 +582,8 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                             + np.maximum(cands.qend[p_ci] - s0["qend"], 0))
                     bad = np.flatnonzero(hang > 200)
                     scale = opts.rescue_band_scale
-                    while len(bad) and scale <= opts.rescue_band_max_scale:
+                    while (len(bad) and scale <= opts.rescue_band_max_scale
+                           and W0 * scale <= shapes.MAX_BAND):
                         Wx = W0 * scale
                         wch = fused.dispatch_wave(
                             engines, **sub(bad), W=Wx, cutoffs=cutoffs,
@@ -637,9 +639,11 @@ def _run_waves_fused(engines, cands, tpls, buckets, opts: CnsOptions,
                     best_w = np.full(npairs, W0, np.int64)
                     best_c = stats["n_cols"].copy()
                     scale = opts.rescue_band_scale
-                    while len(di) and scale <= opts.rescue_band_max_scale:
+                    while (len(di) and scale <= opts.rescue_band_max_scale
+                           and W0 * scale <= shapes.MAX_BAND):
                         Wx = W0 * scale
-                        last = scale * 2 > opts.rescue_band_max_scale
+                        last = (scale * 2 > opts.rescue_band_max_scale
+                                or W0 * scale * 2 > shapes.MAX_BAND)
                         wch = fused.dispatch_wave(
                             engines, **sub(di), W=Wx, cutoffs=cutoffs,
                             tensors=tensors, allow_fullcov=allow_fc,

@@ -275,7 +275,8 @@ def extend_candidates(
         scale = rescue_band_scale
         bad = rescue_hangs(cands, np.arange(n), out["qoff"], out["qend"])
         n_resc = 0
-        while len(bad) and scale <= rescue_band_max_scale:
+        while (len(bad) and scale <= rescue_band_max_scale
+               and band_width * scale <= shapes.MAX_BAND):
             prev = {k: out[k][bad].copy() for k in out if k != "lane"}
             _extend_subset(cands, engine, bad, band_width * scale, out)
             # keep the wider-band result only where it aligned more columns

@@ -27,6 +27,10 @@ LENGTH_TIERS = (2048, 4096, 8192, 16384, 32768, 40960, 65536, 131072, 262144)
 # capacity halves the chunk count of a correction pass at ~4-5 GB peak HBM
 EXTENSION_BYTES = 2 << 30
 BAND_W_DEFAULT = 128
+# absolute band ceiling for the rescue ladder: W=8192 kernels overflow the
+# 16 MB scoped VMEM (backtrack blocks) and the diagonalizer's sliding-window
+# input count grows ~W/CBLK; 4096 covers ~1 kb of clustered indels
+MAX_BAND = 4096
 
 
 def length_tier(x: int) -> int:
