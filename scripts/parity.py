@@ -92,6 +92,15 @@ def run_reference(args, cfg_path, wd):
     env["PATH"] = args.ref_bin + ":" + env["PATH"]
     necat = os.path.join(args.ref_bin, "necat.pl")
     res = {}
+    # measurement-only re-runs: when every expected artifact already exists,
+    # don't re-invoke necat.pl (its mtime-based resume can cascade a full
+    # redo if any input was touched since the producing run)
+    final = {"correct": "ref_prj/1-consensus/cns_final.fasta.gz",
+             "assemble": "ref_prj/4-fsa/contigs.fasta",
+             "bridge": "ref_prj/6-bridge_contigs/bridged_contigs.fasta"}
+    if all(os.path.exists(os.path.join(wd, final[st]))
+           for st in args.stages.split(",") if st in final):
+        return {"resumed": True}
     for stage in args.stages.split(","):
         t0 = time.time()
         p = subprocess.run(["perl", necat, stage, os.path.basename(cfg_path)],
@@ -146,10 +155,14 @@ def main():
                                            seed=args.seed)
     genome_store = ReadStore.from_seqs([genome], ["genome"])
     reads_path = os.path.join(args.workdir, "reads.fasta")
-    store.to_fasta(reads_path)
+    if not os.path.exists(reads_path):
+        # idempotent: rewriting bumps the mtime fingerprint and forces both
+        # pipelines to redo completed stages on a measurement re-run
+        store.to_fasta(reads_path)
     list_path = os.path.join(args.workdir, "read_list.txt")
-    with open(list_path, "w") as f:
-        f.write(reads_path + "\n")
+    if not os.path.exists(list_path):
+        with open(list_path, "w") as f:
+            f.write(reads_path + "\n")
 
     cfg_common = (
         f"ONT_READ_LIST={list_path}\nGENOME_SIZE={args.genome_size}\n"
