@@ -162,10 +162,10 @@ class ExtendEngine:
             # through the tunnel, far more than the padded dead lanes cost.
             # On CPU (tests) compiles are cheap and padded lanes are real
             # compute: size the chunk to the work.
-            if jax.default_backend() == "tpu":
-                PB = PBmax
-            else:
+            if jax.default_backend() == "cpu":
                 PB = max(8, 1 << (n_real - 1).bit_length())
+            else:
+                PB = PBmax
             with timed("ext.chunk_build"):
                 desc = np.zeros((PB, len(DESC_COLS) + n_extra), np.int32)
                 qi = qids[take]

@@ -145,7 +145,8 @@ def _branch_body(arcs: List[Arc], store: ReadStore):
 
 
 def merge_similar_branches(backbone: np.ndarray,
-                           alts: List[np.ndarray]) -> np.ndarray:
+                           alts: List[np.ndarray],
+                           splice_out: list | None = None) -> np.ndarray:
     """Consensus of similar compound-path branches (ConstructContig1 role,
     src/fsa/assembly.cpp:229-547): branch bodies that pass the similarity
     check vote out each other's sequencing errors instead of the contig
@@ -174,6 +175,8 @@ def merge_similar_branches(backbone: np.ndarray,
     S, cf, ct = consensus_linkdp(all_tags, n)
     if len(S) < (ct - cf) // 2:
         return backbone
+    if splice_out is not None:
+        splice_out[:] = [cf, ct, len(S)]
     return np.concatenate([backbone[:cf], S, backbone[ct:]])
 
 
@@ -322,7 +325,23 @@ def assemble(
                     sim_seqs.append(aseq)
             if sim_seqs and parcs:
                 body, rel_tiles = _branch_body(parcs, store)
-                merged = merge_similar_branches(body, sim_seqs)
+                splice: list = []
+                merged = merge_similar_branches(body, sim_seqs,
+                                                splice_out=splice)
+                if splice:
+                    # the consensus splice replaced body[cf:ct) with a
+                    # len(S) segment: shift tile coords past cf by the
+                    # length delta and clip to the merged sequence
+                    # (advisor r4, low)
+                    cf, ct, sl = splice
+                    delta = sl - (ct - cf)
+                    rel_tiles = [
+                        Tile(t.read, t.orient,
+                             min(t.ctg_start + (delta if t.ctg_start >= cf
+                                                else 0), len(merged)),
+                             min(t.ctg_end + (delta if t.ctg_end > ct
+                                              else 0), len(merged)))
+                        for t in rel_tiles]
                 arcs.append(LiteralPart(seq=merged, tiles_rel=rel_tiles,
                                         trim_u=parcs[0].trim_u,
                                         u=parcs[0].u, v=parcs[-1].v))

@@ -371,16 +371,20 @@ def bridge_contigs(
                                     min_ident=max(opts.min_ident, 0.0),
                                     band_width=256)
     min_ident = opts.min_ident
-    if min_ident < 0 and readinfos and readinfos.get("min_identity", 0) > 0:
-        # raw-read identities run lower than trimmed-read ones; the assemble
-        # stage's cutoff is an upper anchor (contig_bridge.cpp:197-290)
-        min_ident = max(70.0, float(readinfos["min_identity"]) - 10.0)
-        m4 = m4.take(np.flatnonzero(m4.ident >= min_ident))
-    elif min_ident < 0 and len(m4):
-        # auto identity cutoff from the mapping-identity distribution
-        # (AutoSelectParams role, contig_bridge.cpp:197-290)
+    if min_ident < 0 and len(m4):
+        # auto identity cutoff from THIS mapping's identity distribution
+        # (AutoSelectRead2ctgMinIdentity, contig_bridge.cpp:197-290:
+        # median - 3 * 1.4826 * MAD)
         mi = m4.ident.astype(np.float64)
-        min_ident = float(np.clip(mi.mean() - 6.0 * mi.std(), 70.0, 100.0))
+        med = float(np.median(mi))
+        mad = float(np.median(np.abs(mi - med)))
+        min_ident = float(np.clip(med - 3.0 * 1.4826 * mad, 70.0, 100.0))
+        if readinfos and readinfos.get("min_identity", 0) > 0:
+            # the assemble stage's (corrected-read) cutoff only UPPER-clamps:
+            # raw-read mapping identities run lower, and a high corrected
+            # cutoff must not strip nearly all bridge evidence
+            min_ident = min(min_ident,
+                            max(70.0, float(readinfos["min_identity"]) - 10.0))
         m4 = m4.take(np.flatnonzero(m4.ident >= min_ident))
     lens = contigs.lengths
     links = find_links(m4, lens, opts)
@@ -408,12 +412,31 @@ def bridge_contigs(
         ea, eb = edge.covered
         return expand(ea) + expand(eb)
 
+    # Pre-expand every path so covered macro-edge MIDDLE contigs are known
+    # before any emission: a middle's own edges were removed by
+    # remove_covered_edges, so it also forms a singleton path, and emitting
+    # that singleton before (or after) the chain would duplicate the contig
+    # in the output (advisor r4, high). Chains own every contig they expand
+    # to; any path touching an already-emitted contig is skipped whole (its
+    # leftovers fall through to the singleton sweep below).
+    path_joins: List[List] = []
     for path in paths:
-        if path[0][0][0] in emitted:
-            continue
         joins: List = []
         for (node, edge) in path[1:]:
             joins.extend(expand(edge))
+        path_joins.append(joins)
+    chain_contigs: set[int] = set()
+    for path, joins in zip(paths, path_joins):
+        if joins:
+            chain_contigs.add(path[0][0][0])
+            chain_contigs.update(e.v[0] for e in joins)
+
+    for path, joins in zip(paths, path_joins):
+        cset = [path[0][0][0]] + [e.v[0] for e in joins]
+        if any(c in emitted for c in cset):
+            continue
+        if not joins and cset[0] in chain_contigs:
+            continue                 # a chain emits this contig in place
         parts = [contigs.get(path[0][0][0], rc=bool(path[0][0][1]))]
         for e in joins:
             B, dB = e.v
@@ -424,9 +447,7 @@ def bridge_contigs(
             else:
                 parts.append(gap)
                 parts.append(nxt_seq)
-        emitted.add(path[0][0][0])
-        for e in joins:
-            emitted.add(e.v[0])
+        emitted.update(cset)
         out_seqs.append(np.concatenate(parts))
         out_names.append(f"bctg{len(out_seqs) - 1}")
 

@@ -204,9 +204,14 @@ def correct_reads(
             id_map = None
         ctxs.append(_run_supergroup(store, sg_engines, cands, groups,
                                     sg_ids, opts, id_map=id_map))
-    # compaction AFTER all supergroups: each supergroup's async d2h download
-    # completes while the next one's waves run on the device, so the host
-    # decode never stalls the dispatch stream
+        # bounded-depth pipeline: compact supergroup i-1 while supergroup i's
+        # waves run — its async d2h downloads complete behind the dispatch
+        # stream, but only ONE extra supergroup's device arrays stay alive
+        # (unbounded deferral made peak memory scale with supergroup count,
+        # defeating SMALL_MEMORY — advisor r4, medium)
+        while len(ctxs) > 1:
+            records.extend(_compact_supergroup(store, ctxs.pop(0), opts,
+                                               template_cuts or {}))
     for ctx in ctxs:
         records.extend(_compact_supergroup(store, ctx, opts,
                                            template_cuts or {}))

@@ -140,6 +140,49 @@ class KmerIndex:
             run_end=jnp.asarray(_run_ends(sh), dtype=jnp.int32),
         )
 
+    @classmethod
+    def build_on_device(
+        cls,
+        store,
+        k: int = 15,
+        occ_cutoff: int = 500,
+        n_bucket_bits: int = 22,
+        device=None,
+    ) -> "KmerIndex":
+        """Build the index ON the TPU from the 2-bit packed device store.
+
+        The host build hashes + radix-sorts on 2 vCPUs and then uploads
+        ~3 arrays x n_kmers through the ~34 MB/s tunnel (8 s per build, 55 s
+        cumulative per E. coli bench). Here the packed words are already on
+        device (get_devstore), so hashing is 15 shifted adds, the sort is one
+        XLA sort, and nothing bulk crosses the link. The sorted arrays keep
+        the word buffer's pow2-padded length (sentinel-hash padding), so
+        downstream candidate executables are shared across stores of similar
+        size instead of recompiling per store (VERDICT r5 #4)."""
+        from necat_tpu.io.devstore import get_devstore
+        assert k <= 15
+        n_bucket_bits = min(n_bucket_bits, 2 * k)
+        dev = get_devstore(store, device=device)
+        total = int(store.total_bases)
+        ends = jnp.asarray(store.offsets[1:].astype(np.int32))
+        if device is not None:
+            ends = jax.device_put(ends, device)
+        sh, sp, bucket_starts, run_end, n_real, max_bucket = _build_index_device(
+            dev.words, ends, jnp.int32(total), k=k,
+            n_bucket_bits=n_bucket_bits)
+        steps = int(np.asarray(max_bucket))
+        return cls(
+            k=k,
+            occ_cutoff=occ_cutoff,
+            n_bucket_bits=n_bucket_bits,
+            sorted_hashes=sh,
+            sorted_positions=sp,
+            bucket_starts=bucket_starts,
+            n_search_steps=_quantize_steps(
+                int(np.ceil(np.log2(max(2, steps)))) + 1),
+            run_end=run_end,
+        )
+
     def lookup_ranges(self, query_hashes: jax.Array) -> tuple[jax.Array, jax.Array]:
         """For each query hash: (start, count) in the sorted position list.
 
@@ -150,6 +193,67 @@ class KmerIndex:
             self.sorted_hashes, self.bucket_starts, query_hashes,
             2 * self.k - self.n_bucket_bits, self.occ_cutoff,
             self.n_search_steps, run_end=self.run_end)
+
+
+_HASH_SENTINEL = np.int32(1 << 30)   # > any 30-bit k-mer hash; pads sort last
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_bucket_bits"))
+def _build_index_device(words, ends, total, *, k: int, n_bucket_bits: int):
+    """Device index build over the pow2-padded packed word buffer.
+
+    words: u32[NW] (16 bases/word, base 0 in high bits — devstore layout);
+    ends: i32[NS] read end offsets; total: i32 scalar (real base count).
+    Returns (sorted_hashes, sorted_positions, bucket_starts, run_end,
+    n_real_kmers, max_bucket_count); array lengths are 16*NW (pow2)."""
+    NW = words.shape[0]
+    N = NW * 16
+    shift_dir = 2 * k - n_bucket_bits
+    nb = 1 << n_bucket_bits
+    # unpack 16 bases per word (base 0 in the two HIGH bits)
+    sh_amt = (30 - 2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
+    bases = ((words[:, None] >> sh_amt) & 3).astype(jnp.uint8).reshape(N)
+    # polynomial hash via k shifted adds (big-endian base-4, word_finder.c:65)
+    bx = jnp.concatenate([bases, jnp.zeros(16, jnp.uint8)])
+    h = jnp.zeros(N, jnp.int32)
+    for j in range(k):
+        h = h + (bx[j:j + N].astype(jnp.int32) << (2 * (k - 1 - j)))
+    # invalidate k-mers spanning a read end (and everything past `total`):
+    # positions [end-k+1, end) of every read, which may over-mark into an
+    # adjacent short read only at positions that are invalid there too
+    bad = (ends[None, :] - jnp.arange(1, k, dtype=jnp.int32)[:, None]).reshape(-1)
+    bad = jnp.where(bad >= 0, bad, N)          # no negative-index wraparound
+    mask = jnp.ones(N, bool).at[bad].set(False, mode="drop")
+    mask &= jnp.arange(N, dtype=jnp.int32) < (total - (k - 1))
+    hm = jnp.where(mask, h, _HASH_SENTINEL)
+    sh_s, sp_s = jax.lax.sort((hm, jnp.arange(N, dtype=jnp.int32)),
+                              num_keys=1, is_stable=True)
+    n_real = mask.sum(dtype=jnp.int32)
+    # bucket directory: first index of each top-bits bucket, empty buckets
+    # fill from the right (reverse cummin); sentinel opens bucket `nb`
+    bb = jnp.minimum(sh_s >> shift_dir, nb).astype(jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), bb[1:] != bb[:-1]])
+    idx = jnp.arange(N, dtype=jnp.int32)
+    starts = jnp.full(nb + 1, N, jnp.int32).at[
+        jnp.where(first, bb, nb + 1)].min(idx, mode="drop")
+    starts = jax.lax.cummin(starts, reverse=True)
+    starts = jnp.minimum(starts, n_real)       # pads live past the last bucket
+    # run_end[i] = one past the last index of the equal-hash run holding i
+    change = jnp.concatenate([sh_s[1:] != sh_s[:-1], jnp.ones(1, bool)])
+    run_end = jax.lax.cummin(jnp.where(change, idx + 1, N), reverse=True)
+    counts = starts[1:] - starts[:-1]
+    return sh_s, sp_s, starts, run_end, n_real, counts.max()
+
+
+def _quantize_steps(steps: int) -> int:
+    """Round the binary-search step bound up to a coarse rung ({8, 12, 16,
+    24, 32}): n_steps is a static arg of the candidate executable, and exact
+    per-store values made every store compile (and per process, load) its own
+    program set."""
+    for r in (8, 12, 16, 24, 32):
+        if steps <= r:
+            return r
+    return 32
 
 
 def _run_ends(sh: np.ndarray) -> np.ndarray:
@@ -166,7 +270,7 @@ def _run_ends(sh: np.ndarray) -> np.ndarray:
 def _search_steps(bucket_starts) -> int:
     counts = np.diff(np.asarray(bucket_starts))
     mx = int(counts.max()) if len(counts) else 1
-    return int(np.ceil(np.log2(max(2, mx)))) + 1
+    return _quantize_steps(int(np.ceil(np.log2(max(2, mx)))) + 1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))

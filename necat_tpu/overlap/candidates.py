@@ -86,16 +86,22 @@ def _expand_hits(start, count, positions, soff_limit, max_hits: int):
     start/count: int32[B, S] per sampled query k-mer. soff_limit: int32[B]
     (hits at subject positions >= limit are dropped; pass INT32_MAX to disable).
     Returns (qrow, kmer_col, pos, valid, total_hits).
-    """
+
+    Run ids propagate by scatter + running max: each nonempty k-mer scatters
+    its index at its run's first slot, cummax fills the run. Two linear scans
+    + three gathers over max_hits slots — the searchsorted formulation cost
+    ~20 dependent gather steps per slot (466 ms/batch at a 2M cap)."""
     B, S = start.shape
     flat_count = count.reshape(-1)
     cum = jnp.cumsum(flat_count)
     total = cum[-1]
+    cum_prev = cum - flat_count
+    src = jnp.arange(B * S, dtype=jnp.int32)
+    tgt = jnp.where(flat_count > 0, cum_prev, max_hits)   # empties dropped
+    head = jnp.zeros(max_hits, jnp.int32).at[tgt].max(src, mode="drop")
+    kmer_idx = jax.lax.cummax(head)
     slots = jnp.arange(max_hits, dtype=jnp.int32)
-    kmer_idx = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    kmer_idx = jnp.minimum(kmer_idx, B * S - 1)
-    base = cum[kmer_idx] - flat_count[kmer_idx]
-    within = slots - base
+    within = slots - cum_prev[kmer_idx]
     pos = positions[start.reshape(-1)[kmer_idx] + within]
     valid = slots < total
     qrow = kmer_idx // S
@@ -206,7 +212,34 @@ def _fused_candidates_jit(k, shift, occ_cutoff, scan_window, opts, n_steps=None)
     return jax.jit(f)
 
 
-def find_candidates_batch(
+def _dispatch_once(index: KmerIndex, sub_offsets, batch_j, lens_j, soff_limit,
+                   opts: MapOptions, cap: int, pcap: int) -> dict:
+    """One async fused candidate dispatch with the given buffer caps."""
+    from necat_tpu.utils.device import tunnel_retry
+    from necat_tpu.utils.logging import timed
+    o = opts
+    if cap != opts.max_hits or pcap != opts.max_pairs:
+        o = dataclasses.replace(opts, max_hits=cap, max_pairs=pcap)
+    fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
+                               index.occ_cutoff, opts.scan_window, o,
+                               index.n_search_steps)
+    with timed("cand.dispatch"):
+        g = tunnel_retry(fn, index.sorted_hashes, index.sorted_positions,
+                         index.bucket_starts, sub_offsets,
+                         batch_j, lens_j, soff_limit, index.run_end)
+        for k_ in ("stats", "n_hits", "n_pairs"):
+            try:
+                g[k_].copy_to_host_async()
+            except Exception:
+                pass
+    import os as _os
+    if _os.environ.get("NECAT_TPU_SYNC_DISPATCH"):
+        with timed("cand.exec"):
+            jax.block_until_ready(g["stats"])
+    return g
+
+
+def dispatch_candidates_batch(
     index: KmerIndex,
     sub_offsets: jax.Array,          # int32[NS+1] subject read offsets in the volume
     sub_vol_read_start: int,          # global read id of subject volume's first read
@@ -218,10 +251,13 @@ def find_candidates_batch(
     opts: MapOptions,
     pairwise: bool,
     sub_offsets_host: np.ndarray | None = None,  # host copy of sub_offsets
-    hits_cap: list | None = None,  # mutable [cap]: escalation persists across batches
-) -> Candidates:
-    """Run the full candidate pipeline for one padded query batch on one strand
-    (one fused device dispatch + one stats transfer)."""
+    hits_cap: list | None = None,  # mutable [cap, pcap]: shared escalation state
+) -> dict:
+    """Dispatch one fused candidate pass (async; NO host sync). Returns a
+    handle for collect_candidates_batch. Several handles can be in flight —
+    the device pipelines dispatch i+1 behind i's execution, which is the
+    chip-level version of the reference's overlapped pm_worker thread groups
+    (pm_worker.c:244-335). Escalation happens at collect time."""
     from necat_tpu.utils.logging import timed
     B, L = batch.shape
     with timed("cand.limits"):
@@ -232,7 +268,8 @@ def find_candidates_batch(
             off_h = (np.asarray(sub_offsets) if sub_offsets_host is None
                      else sub_offsets_host)
             local = qids - sub_vol_read_start
-            ns = int(sub_offsets.shape[0]) - 1
+            # off_h is the UNpadded host copy; sub_offsets may be pow2-padded
+            ns = len(off_h) - 1
             in_vol = (local >= 0) & (local < ns)
             limit_np = np.where(in_vol, off_h[np.clip(local, 0, ns - 1)],
                                 np.int32(np.iinfo(np.int32).max))
@@ -244,31 +281,26 @@ def find_candidates_batch(
         hits_cap = [opts.max_hits, opts.max_pairs]
     elif len(hits_cap) == 1:
         hits_cap.append(opts.max_pairs)
+    cap, pcap = hits_cap[0], hits_cap[1]
+    batch_j = jnp.asarray(batch)
+    lens_j = jnp.asarray(lens)
+    g = _dispatch_once(index, sub_offsets, batch_j, lens_j, soff_limit,
+                       opts, cap, pcap)
+    return dict(g=g, caps=(cap, pcap), index=index, sub_offsets=sub_offsets,
+                batch_j=batch_j, lens_j=lens_j, soff_limit=soff_limit,
+                qids=qids, lens=lens, qdir=qdir, sub_sizes=sub_sizes,
+                sub_vol_read_start=sub_vol_read_start, hits_cap=hits_cap)
+
+
+def collect_candidates_batch(h: dict, opts: MapOptions) -> Candidates:
+    """Sync one dispatched candidate pass; if its buffers saturated, escalate
+    the shared caps and re-run the pass (synchronously — escalation is rare,
+    caps are learned and persisted across processes)."""
+    from necat_tpu.utils.logging import logger, timed
+    hits_cap = h["hits_cap"]
+    cap, pcap = h["caps"]
+    g = h["g"]
     while True:
-        cap, pcap = hits_cap
-        o = opts
-        if cap != opts.max_hits or pcap != opts.max_pairs:
-            o = dataclasses.replace(opts, max_hits=cap, max_pairs=pcap)
-        fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
-                                   index.occ_cutoff, opts.scan_window, o,
-                                   index.n_search_steps)
-        with timed("cand.dispatch"):
-            from necat_tpu.utils.device import tunnel_retry
-            g = tunnel_retry(fn, index.sorted_hashes, index.sorted_positions,
-                             index.bucket_starts, sub_offsets,
-                             jnp.asarray(batch), jnp.asarray(lens), soff_limit,
-                             index.run_end)
-            for k_ in ("stats", "n_hits", "n_pairs"):
-                try:
-                    g[k_].copy_to_host_async()
-                except Exception:
-                    pass
-        import os as _os
-        if _os.environ.get("NECAT_TPU_SYNC_DISPATCH"):
-            with timed("cand.exec"):
-                import jax as _jax
-                _jax.block_until_ready(g["stats"])
-        # host-side filtering & packing (single transfer)
         with timed("cand.stats_sync"):
             st = np.asarray(g["stats"])
         n_hits = int(np.asarray(g["n_hits"])[0])
@@ -276,30 +308,66 @@ def find_candidates_batch(
         grow = False
         # saturated buffers: escalate and redo the pass (the reference has no
         # caps at all — silent loss is not acceptable)
-        from necat_tpu.utils.logging import logger
         if n_hits >= cap and cap < opts.max_hits_ceiling:
-            hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+            hits_cap[0] = max(hits_cap[0], min(cap * 4, opts.max_hits_ceiling))
             logger.info("hit buffer full (%d >= %d): escalating to %d",
                         n_hits, cap, hits_cap[0])
             grow = True
         if n_pairs >= pcap and pcap < (1 << 17):
             # x2 (not x4): chain DP cost is linear in the pair cap and the
             # x4 ladder overshot to 131072 for a 33k-pair E. coli batch
-            hits_cap[1] = min(pcap * 2, 1 << 17)
+            hits_cap[1] = max(hits_cap[1], min(pcap * 2, 1 << 17))
             logger.info("pair buffer full (%d >= %d): escalating to %d",
                         n_pairs, pcap, hits_cap[1])
             grow = True
         if not grow:
             break
+        cap, pcap = hits_cap[0], hits_cap[1]
+        g = _dispatch_once(h["index"], h["sub_offsets"], h["batch_j"],
+                           h["lens_j"], h["soff_limit"], opts, cap, pcap)
+    # record the observed demand (slots 2/3 of the shared caps list): the
+    # buffer rung the NEXT process starts from is sized to what this run
+    # actually used, so caps that once escalated to the ceiling do not pin
+    # every later run at ceiling-sized buffers (expand+sort cost scales with
+    # the CAP, not the real hit count — 8M-slot buffers for 371k hits were
+    # 25x the needed compute)
+    while len(hits_cap) < 4:
+        hits_cap.append(0)
+    hits_cap[2] = max(hits_cap[2], n_hits)
+    hits_cap[3] = max(hits_cap[3], n_pairs)
+    h["g"] = None                    # drop device refs promptly
     if n_hits >= opts.max_hits_ceiling:
-        from necat_tpu.utils.logging import logger
         logger.warning(
             "k-mer hit buffer full at ceiling (%d >= %d): candidates beyond "
             "the cap are dropped — raise MapOptions.max_hits_ceiling or use "
             "volume tiling (overlap_all_vs_all(vol_size=...))",
             n_hits, opts.max_hits_ceiling)
-    return stats_to_candidates(st, qids, lens, qdir, sub_sizes,
-                               sub_vol_read_start, opts)
+    return stats_to_candidates(st, h["qids"], h["lens"], h["qdir"],
+                               h["sub_sizes"], h["sub_vol_read_start"], opts)
+
+
+def find_candidates_batch(
+    index: KmerIndex,
+    sub_offsets: jax.Array,
+    sub_vol_read_start: int,
+    batch: np.ndarray,
+    lens: np.ndarray,
+    qids: np.ndarray,
+    qdir: int,
+    sub_sizes: np.ndarray,
+    opts: MapOptions,
+    pairwise: bool,
+    sub_offsets_host: np.ndarray | None = None,
+    hits_cap: list | None = None,
+) -> Candidates:
+    """Run the full candidate pipeline for one padded query batch on one strand
+    (one fused device dispatch + one stats transfer). Synchronous convenience
+    wrapper over dispatch_candidates_batch + collect_candidates_batch."""
+    h = dispatch_candidates_batch(
+        index, sub_offsets, sub_vol_read_start, batch, lens, qids, qdir,
+        sub_sizes, opts, pairwise, sub_offsets_host=sub_offsets_host,
+        hits_cap=hits_cap)
+    return collect_candidates_batch(h, opts)
 
 
 def stats_to_candidates(st: np.ndarray, qids, lens, qdir, sub_sizes,

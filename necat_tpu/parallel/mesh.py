@@ -201,7 +201,30 @@ class ShardedIndex:
         self.local_sizes = [len(o) - 1 for o in meta["offs"]]
 
 
-def find_candidates_sharded(
+def _dispatch_sharded_once(index: "ShardedIndex", batch_j, lens_j, lim_j,
+                           opts: MapOptions, cap: int, pcap: int):
+    import dataclasses as _dc
+
+    from necat_tpu.utils.logging import timed
+    o = opts
+    if cap != opts.max_hits or pcap != opts.max_pairs:
+        o = _dc.replace(opts, max_hits=cap, max_pairs=pcap)
+    fn = sharded_candidates_fn(index.mesh, k=index.k, shift=index.shift,
+                               occ_cutoff=index.occ_cutoff,
+                               scan_window=opts.scan_window, opts=o,
+                               n_steps=index.meta["n_steps"])
+    with timed("cand.dispatch"):
+        g = fn(index.sh, index.sp, index.bs, index.so,
+               batch_j, lens_j, lim_j, index.re)
+        for k_ in ("stats", "n_hits", "n_pairs"):
+            try:
+                g[k_].copy_to_host_async()
+            except Exception:
+                pass
+    return g
+
+
+def dispatch_candidates_sharded(
     index: ShardedIndex,
     sstore,
     subject_read_start: int,
@@ -209,14 +232,10 @@ def find_candidates_sharded(
     opts: MapOptions,
     pairwise: bool,
     hits_cap: list | None = None,
-):
-    """Mesh-sharded equivalent of find_candidates_batch: ONE shard_map
-    dispatch over the device mesh; each device searches its subject shard."""
-    import dataclasses as _dc
-
-    from necat_tpu.overlap.candidates import (_fused_candidates_jit,  # noqa: F401
-                                              stats_to_candidates)
-    from necat_tpu.utils.logging import timed
+) -> dict:
+    """Async half of the mesh-sharded candidate pass: ONE shard_map dispatch
+    over the device mesh; each device searches its subject shard. Returns a
+    handle for collect_candidates_sharded (no host sync here)."""
     B = batch.shape[0]
     D = index.n_shards
     starts = index.read_starts
@@ -238,43 +257,74 @@ def find_candidates_sharded(
         hits_cap = [opts.max_hits, opts.max_pairs]
     elif len(hits_cap) == 1:
         hits_cap.append(opts.max_pairs)
+    cap, pcap = hits_cap[0], hits_cap[1]
+    batch_j, lens_j, lim_j = jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim)
+    g = _dispatch_sharded_once(index, batch_j, lens_j, lim_j, opts, cap, pcap)
+    return dict(g=g, caps=(cap, pcap), index=index, sstore=sstore,
+                batch_j=batch_j, lens_j=lens_j, lim_j=lim_j,
+                qids=np.asarray(qids), lens=np.asarray(lens), qdir=qdir,
+                subject_read_start=subject_read_start, hits_cap=hits_cap)
+
+
+def collect_candidates_sharded(h: dict, opts: MapOptions):
+    """Sync one sharded candidate pass; escalate + re-dispatch on saturation."""
+    from necat_tpu.overlap.candidates import stats_to_candidates
+    from necat_tpu.utils.logging import timed
+    index = h["index"]
+    sstore = h["sstore"]
+    D = index.n_shards
+    starts = index.read_starts
+    hits_cap = h["hits_cap"]
+    cap, pcap = h["caps"]
+    g = h["g"]
     while True:
-        cap, pcap = hits_cap
-        o = opts
-        if cap != opts.max_hits or pcap != opts.max_pairs:
-            o = _dc.replace(opts, max_hits=cap, max_pairs=pcap)
-        fn = sharded_candidates_fn(index.mesh, k=index.k, shift=index.shift,
-                                   occ_cutoff=index.occ_cutoff,
-                                   scan_window=opts.scan_window, opts=o,
-                                   n_steps=index.meta["n_steps"])
-        with timed("cand.dispatch"):
-            g = fn(index.sh, index.sp, index.bs, index.so,
-                   jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim),
-                   index.re)
         with timed("cand.stats_sync"):
             st_all = np.asarray(g["stats"]).reshape(D, 9, -1)
         n_hits = int(np.asarray(g["n_hits"]).max())
         n_pairs = int(np.asarray(g["n_pairs"]).max())
         grow = False
         if n_hits >= cap and cap < opts.max_hits_ceiling:
-            hits_cap[0] = min(cap * 4, opts.max_hits_ceiling)
+            hits_cap[0] = max(hits_cap[0], min(cap * 4, opts.max_hits_ceiling))
             grow = True
         if n_pairs >= pcap and pcap < (1 << 17):
             # x2 (not x4): chain DP cost is linear in the pair cap and the
             # x4 ladder overshot to 131072 for a 33k-pair E. coli batch
-            hits_cap[1] = min(pcap * 2, 1 << 17)
+            hits_cap[1] = max(hits_cap[1], min(pcap * 2, 1 << 17))
             grow = True
         if not grow:
             break
+        cap, pcap = hits_cap[0], hits_cap[1]
+        g = _dispatch_sharded_once(index, h["batch_j"], h["lens_j"],
+                                   h["lim_j"], opts, cap, pcap)
+    while len(hits_cap) < 4:          # observed demand (see collect_candidates_batch)
+        hits_cap.append(0)
+    hits_cap[2] = max(hits_cap[2], n_hits)
+    hits_cap[3] = max(hits_cap[3], n_pairs)
+    h["g"] = None
     parts = []
-    lens = np.asarray(lens)
-    qids = np.asarray(qids)
     for d in range(D):
         lo = int(starts[d])
         nloc = index.local_sizes[d]
         sub_sizes = sstore.lengths[lo:lo + nloc].astype(np.int32)
         parts.append(stats_to_candidates(
-            st_all[d], qids, lens, qdir, sub_sizes,
-            subject_read_start + lo, opts))
+            st_all[d], h["qids"], h["lens"], h["qdir"], sub_sizes,
+            h["subject_read_start"] + lo, opts))
     from necat_tpu.overlap.candidates import Candidates
     return Candidates.concat(parts)
+
+
+def find_candidates_sharded(
+    index: ShardedIndex,
+    sstore,
+    subject_read_start: int,
+    batch, lens, qids, qdir: int,
+    opts: MapOptions,
+    pairwise: bool,
+    hits_cap: list | None = None,
+):
+    """Mesh-sharded equivalent of find_candidates_batch (synchronous wrapper
+    over dispatch_candidates_sharded + collect_candidates_sharded)."""
+    h = dispatch_candidates_sharded(index, sstore, subject_read_start, batch,
+                                    lens, qids, qdir, opts, pairwise,
+                                    hits_cap=hits_cap)
+    return collect_candidates_sharded(h, opts)

@@ -178,3 +178,33 @@ def test_contig_graph_chain_with_covered_edge():
     for s, e in bounds:
         probe = G[(s + e) // 2:(s + e) // 2 + 100].tobytes()
         assert probe in canon or probe in canon_rc, f"contig [{s},{e}) missing"
+
+
+def test_covered_middle_not_duplicated_any_id_order():
+    """Advisor r4 (high): when the covered macro-edge's MIDDLE contig has an
+    id that sorts BEFORE the chain start, its singleton path used to be
+    emitted standalone and then re-emitted inside the chain via expand() —
+    total bases exceeded the genome. Every id permutation must emit each
+    contig exactly once."""
+    G = simulate.random_genome(36000, seed=77)
+    bounds = [(0, 10000), (10300, 12200), (12500, 23000), (23800, 36000)]
+    em = simulate.ErrorModel(sub=0.01, ins=0.01, dele=0.01)
+    rng = np.random.default_rng(19)
+    reads = [simulate.mutate(G[s:s + 12000], em, rng)
+             for s in (4000, 5000, 6000)]
+    reads += [simulate.mutate(G[s:s + 10000], em, rng)
+              for s in (19000, 20000, 21000)]
+    raw = ReadStore.from_seqs(reads)
+    # middle contig (genome segment 1) first: its node id sorts before the
+    # chain start's
+    perm = [1, 0, 2, 3]
+    contigs = ReadStore.from_seqs([G[bounds[p][0]:bounds[p][1]].copy()
+                                   for p in perm],
+                                  [f"c{i}" for i in range(4)])
+    bridged = bridge_contigs(contigs, raw,
+                             opts=BridgeOptions(min_support=2,
+                                                min_align_size=1500))
+    total = int(bridged.lengths.sum())
+    assert total <= int(1.05 * 36000), \
+        f"duplicated contig: {bridged.n_reads} seqs, {total} bases"
+    assert bridged.n_reads == 1, bridged.n_reads

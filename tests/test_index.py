@@ -102,3 +102,32 @@ def test_native_kmer_index_matches_numpy():
     np.testing.assert_array_equal(sh, np.asarray(idx.sorted_hashes))
     np.testing.assert_array_equal(sp, np.asarray(idx.sorted_positions))
     np.testing.assert_array_equal(bs, np.asarray(idx.bucket_starts))
+
+
+def test_device_build_matches_host_build():
+    """build_on_device (pow2-padded, sentinel-hash tail) must answer every
+    lookup identically to the host build — same (start offsets differ by
+    padding but) same per-query position lists."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    seqs = [rng.integers(0, 4, size=n).astype(np.uint8)
+            for n in [3000, 4500, 12, 2200]]     # one read shorter than k
+    rs = ReadStore.from_seqs(seqs)
+    k = 15
+    host = KmerIndex.build(rs.bases, rs.offsets, k=k, occ_cutoff=50)
+    dev = KmerIndex.build_on_device(rs, k=k, occ_cutoff=50)
+    oracle = brute_kmer_positions(rs.bases, rs.offsets, k)
+
+    qs = list(oracle.keys())[:200] + [0, (1 << (2 * k)) - 1]
+    queries = jnp.asarray(np.array(qs, dtype=np.int32))
+    hs, hc = host.lookup_ranges(queries)
+    ds, dc = dev.lookup_ranges(queries)
+    hs, hc = np.asarray(hs), np.asarray(hc)
+    ds, dc = np.asarray(ds), np.asarray(dc)
+    assert np.array_equal(hc, dc), "counts differ"
+    hp = np.asarray(host.sorted_positions)
+    dp = np.asarray(dev.sorted_positions)
+    for i in range(len(qs)):
+        assert np.array_equal(hp[hs[i]:hs[i] + hc[i]],
+                              dp[ds[i]:ds[i] + dc[i]]), f"query {i}"
