@@ -135,10 +135,11 @@ class ExtendEngine:
         tier = np.array([shapes.length_tier(int(max(qsize[i], wlen[i])))
                          for i in range(len(sel))])
         gkey = np.zeros(len(sel), np.int64) if groups is None else np.asarray(groups)
-        # chunking: within a group, largest tiers first; a chunk may absorb
-        # pairs ONE tier below its own (<= 25% padded columns on those lanes)
-        # — fragmenting into pure-tier chunks cost more in padded LANES than
-        # the merged tier costs in padded columns (measured 53% lane fill)
+        # chunking: within a group, largest tiers first; a chunk absorbs
+        # same-group pairs of ANY lower tier — tiers are pow2-spaced, so an
+        # absorbed pair wastes at most the columns a DEAD lane would waste
+        # anyway, and it leaves a later chunk entirely (26% of all extension
+        # lanes were padding with tier-floor cuts, VERDICT r4 weak #5)
         order = np.lexsort((qsize, -tier, gkey))
         planned: List[dict] = []
         n_extra = len(extra_cols) if extra_cols else 0
@@ -148,12 +149,11 @@ class ExtendEngine:
             i0 = order[cs]
             L = int(tier[i0])
             g = gkey[i0]
-            L_floor = shapes.tier_below(L)
             PBmax = min(shapes.pairs_per_chunk(L, W), self.cap)
             take = order[cs:cs + PBmax]
-            keep = (tier[take] >= L_floor) & (gkey[take] == g)
-            if not keep.all():          # order is (gkey, tier desc)-sorted:
-                take = take[:np.argmin(keep)]  # cut at the first foreign pair
+            keep = gkey[take] == g
+            if not keep.all():          # order is gkey-sorted:
+                take = take[:np.argmin(keep)]  # cut at the group boundary
             cs += len(take)
             n_real = len(take)
             # On TPU: ALWAYS the tier's full chunk capacity — a per-chunk PB

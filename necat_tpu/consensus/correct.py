@@ -832,11 +832,22 @@ def _bucket_hot_overrides(store, b: _Bucket, tpls, hot: np.ndarray,
         hot_pos = np.flatnonzero(hot[row, :n])
         if len(hot_pos) == 0:
             continue
-        # cluster hot positions into regions (gaps <= 50 merge)
+        # estimate the query surplus (a collapsed repeat's length) from the
+        # accepted alignments' skew: the region window must extend further
+        # than the surplus on each side, or every semiglobal alignment
+        # PREFERS truncating the window (cost = remaining context) over
+        # threading the insertion (cost = surplus) and the missing chunk
+        # never reaches the reassembly
+        surplus = 0
+        for (qid, qdir, qo, qe, to, te, w) in t_.accepted:
+            surplus = max(surplus, (qe - qo) - (te - to))
+        rpad = pad + min(int(surplus * 3 // 2), 5000)
+        gap_merge = max(50, rpad)
+        # cluster hot positions into regions
         regions = []
         rs = re = int(hot_pos[0])
         for t in hot_pos[1:]:
-            if t - re <= 50:
+            if t - re <= gap_merge:
                 re = int(t)
             else:
                 regions.append((rs, re + 1))
@@ -844,9 +855,13 @@ def _bucket_hot_overrides(store, b: _Bucket, tpls, hot: np.ndarray,
         regions.append((rs, re + 1))
         row_ovr: dict = {}
         for (rs, re) in regions:
-            lo, hi = max(0, rs - pad), min(n, re + pad)
-            if hi - lo > 20000:
-                continue                      # structural-scale; out of scope
+            lo, hi = max(0, rs - rpad), min(n, re + rpad)
+            if hi - lo > 100000:
+                # beyond structural scale even for the banded host DP
+                from necat_tpu.utils.logging import logger
+                logger.warning("hotspot region %d bp at row %d skipped "
+                               "(>100 kb)", hi - lo, row)
+                continue
             t_local = tbatch_np[row, lo:hi].astype(np.uint8)
             # 1. extract the read segments spanning the window (semiglobal
             # trim against the draft absorbs interpolation drift)
@@ -870,7 +885,10 @@ def _bucket_hot_overrides(store, b: _Bucket, tpls, hot: np.ndarray,
                 if q_end - q_start < (hi - lo) // 2:
                     continue
                 segs.append((qseg[q_start:q_end], float(w)))
-            if len(segs) < 4:
+            if len(segs) < 2:
+                # the reference repairs collapsed repeats down to min_cov
+                # (fc_correct_one_read.h u16 deltas at any coverage); two
+                # concordant segments already outvote the draft's omission
                 continue
             # 2. local reassembly: consensus of the segments against a MEDIAN
             # segment backbone. The backbone CONTAINS whatever the draft is

@@ -117,10 +117,41 @@ def _read_input_list(cfg: Config) -> List[str]:
     return files
 
 
-def load_raw_reads(cfg: Config) -> ReadStore:
-    return ReadStore.concat(
-        [ReadStore.from_fasta(p, min_length=cfg.min_read_length)
-         for p in _read_input_list(cfg)])
+def load_raw_reads(cfg: Config, keep_coverage: float = 0.0) -> ReadStore:
+    """Load the input read set.
+
+    With keep_coverage > 0 (and a genome size), loading is two-pass: pass 1
+    visits one file at a time and keeps only LENGTHS; the global
+    longest-to-coverage keep set (identical to
+    ReadStore.longest_to_coverage over the concatenated order) is computed
+    from those; pass 2 reloads each file and keeps only its selected reads.
+    Peak memory is the kept set plus ONE input file — not every input store
+    at once (the reference never holds all inputs either: oc2mkdb packs per
+    2 GB volume, makedb/main.c:8)."""
+    paths = _read_input_list(cfg)
+    if keep_coverage <= 0 or cfg.genome_size <= 0:
+        return ReadStore.concat(
+            [ReadStore.from_fasta(p, min_length=cfg.min_read_length)
+             for p in paths])
+    lens_per_file = []
+    for p in paths:
+        st = ReadStore.from_fasta(p, min_length=cfg.min_read_length)
+        lens_per_file.append(st.lengths.copy())
+        del st
+    all_lens = np.concatenate(lens_per_file)
+    target = int(cfg.genome_size * keep_coverage)
+    order = np.argsort(all_lens, kind="stable")[::-1]
+    csum = np.cumsum(all_lens[order])
+    n_keep = min(int(np.searchsorted(csum, target)) + 1, len(all_lens))
+    keep = np.sort(order[:n_keep])
+    parts = []
+    base = 0
+    for p, fl in zip(paths, lens_per_file):
+        sel = keep[(keep >= base) & (keep < base + len(fl))] - base
+        st = ReadStore.from_fasta(p, min_length=cfg.min_read_length)
+        parts.append(st.subset(sel) if len(sel) != st.n_reads else st)
+        base += len(fl)
+    return ReadStore.concat(parts)
 
 
 @dataclasses.dataclass
@@ -133,6 +164,15 @@ class Project:
 
     def path(self, *parts) -> str:
         return os.path.join(self.root, *parts)
+
+    def _vol_size(self, store: ReadStore) -> int:
+        """Subject-volume size for all-vs-all overlap stages: explicit
+        VOL_SIZE, else automatic 2 GB volumes when the read set exceeds the
+        device word store's 2^31-base bound (oc2mkdb, makedb/main.c:8)."""
+        vol = int(float(self.cfg.get("VOL_SIZE", "0") or 0))
+        if vol <= 0 and store.total_bases >= (1 << 31):
+            vol = 2_000_000_000
+        return vol
 
     def _opt_params(self, *keys: str) -> dict:
         """Every config option string a stage consumes, for its manifest:
@@ -151,12 +191,9 @@ class Project:
 
         def fn():
             pid, nproc = launcher.init_multihost()
-            reads = load_raw_reads(cfg)
-            # prep: longest reads to PREP_OUTPUT_COVERAGE (runCnsPrepare)
-            if cfg.genome_size > 0:
-                keep = reads.longest_to_coverage(cfg.genome_size, cfg.prep_output_coverage)
-                reads = reads.subset(keep)
-            cur = reads
+            # prep: longest reads to PREP_OUTPUT_COVERAGE (runCnsPrepare),
+            # selected during loading so only the kept set is materialized
+            cur = load_raw_reads(cfg, keep_coverage=cfg.prep_output_coverage)
             for it in range(cfg.num_iter):
                 logger.info("correction iteration %d/%d: %d reads",
                             it + 1, cfg.num_iter, cur.n_reads)
@@ -180,9 +217,7 @@ class Project:
                 # volume tiling (oc2mkdb 2 GB volumes, makedb/main.c:8):
                 # explicit VOL_SIZE, or automatic when the read set exceeds
                 # the device word store's 2^31-base bound
-                vol_size = int(float(cfg.get("VOL_SIZE", "0") or 0))
-                if vol_size <= 0 and cur.total_bases >= (1 << 31):
-                    vol_size = 2_000_000_000
+                vol_size = self._vol_size(cur)
                 if vol_size > 0:
                     from necat_tpu.overlap.overlapper import candidates_by_volumes
                     cands = candidates_by_volumes(cur, mopts, vol_size)
@@ -247,7 +282,8 @@ class Project:
             mopts = MapOptions.from_string(
                 self.cfg.get("TRIM_OVLP_OPTIONS", ""),
                 MapOptions(ncan=100, n_chains_per_pair=2))
-            m4 = overlap_all_vs_all(reads, mopts)
+            m4 = overlap_all_vs_all(reads, mopts,
+                                    vol_size=self._vol_size(reads))
             if method in ("accurate", "accurate0"):
                 # TRIM_METHOD selection (necat.pl:1196-1210): the accurate
                 # variants re-consensus each read over its cover range
@@ -275,7 +311,8 @@ class Project:
             mopts = MapOptions.from_string(
                 self.cfg.get("ASM_OVLP_OPTIONS", ""),
                 MapOptions(ncan=100, n_chains_per_pair=2))
-            m4 = overlap_all_vs_all(trimmed, mopts)
+            m4 = overlap_all_vs_all(trimmed, mopts,
+                                    vol_size=self._vol_size(trimmed))
             os.makedirs(wd, exist_ok=True)
             m4.save(os.path.join(wd, "pm.m4.gz"))
             # FSA_* option strings are passed verbatim to the fsa layer, like

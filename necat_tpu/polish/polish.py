@@ -151,7 +151,12 @@ def polish_contigs(
         max_delta=opts.max_delta,
         templates_per_batch=opts.templates_per_batch,
         pairs_per_chunk=opts.pairs_per_chunk,
-        band_width=opts.band_width)
+        band_width=opts.band_width,
+        # the reference's ctg_cns aligns with the unbounded DALIGNER wave
+        # (fc_correct_one_read.h:17-20): without the band-doubling ladder, a
+        # collapsed repeat longer than band/2 can never thread as a clean
+        # insertion run, so the hotspot reassembly never sees it
+        rescue_long_indels=True)
     # cut the consensus pieces exactly at each window's core boundaries so
     # the halo-context parts can be discarded without mid-piece coordinate
     # surgery (pieces never span a seam)

@@ -123,6 +123,7 @@ def test_assembly_end_to_end():
     assert res.tiles[0][0].ctg_start == 0
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_assemble_dump_snapshots(tmp_path):
     """--dump role: graph snapshots + filtered reads (assembly.cpp:126-146)."""
@@ -166,6 +167,7 @@ def test_trim_circular_overlap():
     assert len(trim_circular_overlap(lin)) == len(lin)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_circular_genome_no_duplicated_wrap():
     """A contig walking a CIRCULAR genome must not re-emit its first read:

@@ -152,6 +152,7 @@ def test_top_n_per_query():
     assert set(out.sid[out.qid == 1].tolist()) == {11, 12}
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_volume_tiled_overlaps_match_single_volume():
     from necat_tpu.overlap.overlapper import overlap_all_vs_all

@@ -275,6 +275,7 @@ def test_consensus_stream_matches_dense_compaction():
             np.testing.assert_array_equal(q1, q2)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_full_consensus_stitches_whole_read():
     """-f 1 (consensus_unbroken, cbcns.c:171-252): one whole output read with
@@ -365,6 +366,7 @@ def test_mm_scatter_wide_delta_matches_oracle():
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_small_memory_mode_matches_default():
     """SMALL_MEMORY (oc2cns -s): per-supergroup device stores must produce
@@ -425,6 +427,7 @@ def _assert_same_records(recs_a, recs_b):
         np.testing.assert_array_equal(a.seq, b.seq)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_fused_matches_legacy():
     """The fused single-dispatch path (consensus/fused.py) must produce
@@ -438,6 +441,7 @@ def test_fused_matches_legacy():
     _assert_same_records(recs_a, recs_b)
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_fused_matches_legacy_rescue():
     """Same equality with the long-indel rescue cascade enabled (the fused

@@ -38,6 +38,7 @@ def test_init_multihost_single_process(monkeypatch):
     launcher.barrier("noop")                      # single-process no-op
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_correct_reads_stripe_union_matches_full():
     genome = simulate.random_genome(12000, seed=5)

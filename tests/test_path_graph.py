@@ -130,6 +130,7 @@ def test_sequence_similarity_kmer_fallback():
     assert ident < 0.9
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_assemble_heterozygous_bubble_emits_alternate():
     """Diploid-style genome: two haplotypes sharing flanks with a divergent

@@ -149,6 +149,7 @@ def test_tools_cli(tmp_path, capsys):
     assert ReadStore.from_fasta(out).total_bases >= 20000 * 0.9
 
 
+@pytest.mark.nightly
 @pytest.mark.slow
 def test_trim_accurate_reconsensus():
     """TRIM_METHOD=accurate (trim_bases_accurate): outputs are CONSENSUS
