@@ -110,10 +110,15 @@ def _expand_hits(start, count, positions, soff_limit, max_hits: int):
     return qrow, kcol, pos, valid, total
 
 
-@functools.partial(jax.jit, static_argnames=("max_pairs", "max_seeds"))
-def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int, max_seeds: int):
-    """Sort hits by (qrow, pos); segment into (query, subject) pairs; gather up to
-    max_seeds seeds per pair (even subsampling beyond, preserving order)."""
+@functools.partial(jax.jit, static_argnames=("max_pairs", "max_chain",
+                                             "max_seeds", "min_hits"))
+def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int,
+                 max_chain: int, max_seeds: int, min_hits: int):
+    """Sort hits by (qrow, pos); segment into (query, subject) pairs; compact
+    pairs with >= min_hits hits to the front (pairs below the cutoff can
+    never pass the post-chain seed filter — chaining them is pure waste, and
+    they are ~3/4 of all pair segments at 40x coverage); gather up to
+    max_seeds seeds per kept pair (even subsampling beyond, order kept)."""
     H = qrow.shape[0]
     i32 = jnp.int32
     B_sentinel = jnp.int32(1 << 29)
@@ -134,24 +139,31 @@ def _group_pairs(qrow, qoff, pos, valid, sub_offsets, max_pairs: int, max_seeds:
     n_valid = svalid.sum().astype(i32)
     pair_end = jnp.minimum(pair_end, n_valid)
     pair_cnt = jnp.maximum(pair_end - pair_start, 0)
-
-    safe_start = jnp.minimum(pair_start, H - 1)
-    pair_qrow = k1[safe_start]
-    pair_sid = sid[safe_start]
     pair_valid = pair_start < H
 
-    # seed gather
+    # compact chain-worthy pairs to the front of the (smaller) chain buffer
+    keep = pair_valid & (pair_cnt >= min_hits)
+    n_kept = keep.sum()
+    kidx = jnp.nonzero(keep, size=max_chain, fill_value=max_pairs - 1)[0]
+    cvalid = jnp.arange(max_chain, dtype=i32) < n_kept
+    c_start = jnp.where(cvalid, pair_start[kidx], H)
+    c_cnt = jnp.where(cvalid, pair_cnt[kidx], 0)
+    safe_start = jnp.minimum(c_start, H - 1)
+    pair_qrow = k1[safe_start]
+    pair_sid = sid[safe_start]
+
+    # seed gather (kept pairs only)
     ar = jnp.arange(max_seeds, dtype=i32)
-    idx_in = jnp.where(pair_cnt[:, None] > max_seeds,
-                       (ar[None, :] * pair_cnt[:, None]) // max_seeds,
+    idx_in = jnp.where(c_cnt[:, None] > max_seeds,
+                       (ar[None, :] * c_cnt[:, None]) // max_seeds,
                        ar[None, :])
     gidx = jnp.minimum(safe_start[:, None] + idx_in, H - 1)
-    seed_mask = (ar[None, :] < jnp.minimum(pair_cnt, max_seeds)[:, None]) & pair_valid[:, None]
+    seed_mask = (ar[None, :] < jnp.minimum(c_cnt, max_seeds)[:, None]) & cvalid[:, None]
     seed_q = k3[gidx]
     seed_s = k2[gidx] - sub_offsets[jnp.maximum(pair_sid, 0)][:, None]
-    return dict(pair_qrow=pair_qrow, pair_sid=pair_sid, pair_cnt=pair_cnt,
-                pair_valid=pair_valid, seed_q=seed_q, seed_s=seed_s,
-                seed_mask=seed_mask, n_pairs=n_pairs)
+    return dict(pair_qrow=pair_qrow, pair_sid=pair_sid, pair_cnt=c_cnt,
+                pair_valid=cvalid, seed_q=seed_q, seed_s=seed_s,
+                seed_mask=seed_mask, n_pairs=n_pairs, n_kept=n_kept)
 
 
 def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offsets,
@@ -171,7 +183,9 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
     qrow, kcol, pos, valid, total = _expand_hits(start, count, sorted_positions,
                                                  soff_limit, opts.max_hits)
     g = _group_pairs(qrow, qoffs[kcol], pos, valid, sub_offsets,
-                     opts.max_pairs, opts.max_seeds_per_pair)
+                     opts.max_pairs, opts.max_chain_pairs,
+                     opts.max_seeds_per_pair,
+                     max(opts.block_score_cutoff, 1))
     chains = [chain_pairs(g["seed_q"], g["seed_s"], g["seed_mask"],
                           opts.kmer_size, opts.chain_max_dist, opts.chain_bw)]
     for _ in range(1, opts.n_chains_per_pair):
@@ -200,7 +214,8 @@ def candidates_forward(sorted_hashes, sorted_positions, bucket_starts, sub_offse
         "score": cat("score"), "qbeg": cat("qbeg"), "qend": cat("qend"),
         "sbeg": cat("sbeg"), "send": cat("send"),
         "n_hits": jnp.reshape(total, (1,)),
-        "n_pairs": jnp.reshape(g["n_pairs"], (1,)), "stats": stats,
+        "n_pairs": jnp.reshape(g["n_pairs"], (1,)),
+        "n_kept": jnp.reshape(g["n_kept"], (1,)), "stats": stats,
     }
 
 
@@ -212,14 +227,27 @@ def _fused_candidates_jit(k, shift, occ_cutoff, scan_window, opts, n_steps=None)
     return jax.jit(f)
 
 
+def _norm_caps(hits_cap, opts: MapOptions) -> list:
+    """Normalize the shared mutable caps list to 6 slots:
+    [hits, pairs, chain, obs_hits, obs_pairs, obs_chain]."""
+    if hits_cap is None:
+        hits_cap = []
+    defaults = [opts.max_hits, opts.max_pairs, opts.max_chain_pairs, 0, 0, 0]
+    for i in range(len(hits_cap), 6):
+        hits_cap.append(defaults[i])
+    return hits_cap
+
+
 def _dispatch_once(index: KmerIndex, sub_offsets, batch_j, lens_j, soff_limit,
-                   opts: MapOptions, cap: int, pcap: int) -> dict:
+                   opts: MapOptions, cap: int, pcap: int, ccap: int) -> dict:
     """One async fused candidate dispatch with the given buffer caps."""
     from necat_tpu.utils.device import tunnel_retry
     from necat_tpu.utils.logging import timed
     o = opts
-    if cap != opts.max_hits or pcap != opts.max_pairs:
-        o = dataclasses.replace(opts, max_hits=cap, max_pairs=pcap)
+    if (cap, pcap, ccap) != (opts.max_hits, opts.max_pairs,
+                             opts.max_chain_pairs):
+        o = dataclasses.replace(opts, max_hits=cap, max_pairs=pcap,
+                                max_chain_pairs=ccap)
     fn = _fused_candidates_jit(index.k, 2 * index.k - index.n_bucket_bits,
                                index.occ_cutoff, opts.scan_window, o,
                                index.n_search_steps)
@@ -227,7 +255,7 @@ def _dispatch_once(index: KmerIndex, sub_offsets, batch_j, lens_j, soff_limit,
         g = tunnel_retry(fn, index.sorted_hashes, index.sorted_positions,
                          index.bucket_starts, sub_offsets,
                          batch_j, lens_j, soff_limit, index.run_end)
-        for k_ in ("stats", "n_hits", "n_pairs"):
+        for k_ in ("stats", "n_hits", "n_pairs", "n_kept"):
             try:
                 g[k_].copy_to_host_async()
             except Exception:
@@ -277,16 +305,13 @@ def dispatch_candidates_batch(
         else:
             soff_limit = jnp.full((B,), np.iinfo(np.int32).max, dtype=jnp.int32)
 
-    if hits_cap is None:
-        hits_cap = [opts.max_hits, opts.max_pairs]
-    elif len(hits_cap) == 1:
-        hits_cap.append(opts.max_pairs)
-    cap, pcap = hits_cap[0], hits_cap[1]
+    hits_cap = _norm_caps(hits_cap, opts)
+    cap, pcap, ccap = hits_cap[0], hits_cap[1], hits_cap[2]
     batch_j = jnp.asarray(batch)
     lens_j = jnp.asarray(lens)
     g = _dispatch_once(index, sub_offsets, batch_j, lens_j, soff_limit,
-                       opts, cap, pcap)
-    return dict(g=g, caps=(cap, pcap), index=index, sub_offsets=sub_offsets,
+                       opts, cap, pcap, ccap)
+    return dict(g=g, caps=(cap, pcap, ccap), index=index, sub_offsets=sub_offsets,
                 batch_j=batch_j, lens_j=lens_j, soff_limit=soff_limit,
                 qids=qids, lens=lens, qdir=qdir, sub_sizes=sub_sizes,
                 sub_vol_read_start=sub_vol_read_start, hits_cap=hits_cap)
@@ -298,13 +323,14 @@ def collect_candidates_batch(h: dict, opts: MapOptions) -> Candidates:
     caps are learned and persisted across processes)."""
     from necat_tpu.utils.logging import logger, timed
     hits_cap = h["hits_cap"]
-    cap, pcap = h["caps"]
+    cap, pcap, ccap = h["caps"]
     g = h["g"]
     while True:
         with timed("cand.stats_sync"):
             st = np.asarray(g["stats"])
         n_hits = int(np.asarray(g["n_hits"])[0])
         n_pairs = int(np.asarray(g["n_pairs"])[0])
+        n_kept = int(np.asarray(g["n_kept"])[0])
         grow = False
         # saturated buffers: escalate and redo the pass (the reference has no
         # caps at all — silent loss is not acceptable)
@@ -313,28 +339,32 @@ def collect_candidates_batch(h: dict, opts: MapOptions) -> Candidates:
             logger.info("hit buffer full (%d >= %d): escalating to %d",
                         n_hits, cap, hits_cap[0])
             grow = True
-        if n_pairs >= pcap and pcap < (1 << 17):
-            # x2 (not x4): chain DP cost is linear in the pair cap and the
-            # x4 ladder overshot to 131072 for a 33k-pair E. coli batch
-            hits_cap[1] = max(hits_cap[1], min(pcap * 2, 1 << 17))
+        if n_pairs >= pcap and pcap < (1 << 18):
+            hits_cap[1] = max(hits_cap[1], min(pcap * 2, 1 << 18))
             logger.info("pair buffer full (%d >= %d): escalating to %d",
                         n_pairs, pcap, hits_cap[1])
             grow = True
+        if n_kept >= ccap and ccap < (1 << 17):
+            # x2: chain DP cost is linear in the chain cap
+            hits_cap[2] = max(hits_cap[2], min(ccap * 2, 1 << 17))
+            logger.info("chain buffer full (%d >= %d): escalating to %d",
+                        n_kept, ccap, hits_cap[2])
+            grow = True
         if not grow:
             break
-        cap, pcap = hits_cap[0], hits_cap[1]
+        cap, pcap, ccap = hits_cap[0], hits_cap[1], hits_cap[2]
         g = _dispatch_once(h["index"], h["sub_offsets"], h["batch_j"],
-                           h["lens_j"], h["soff_limit"], opts, cap, pcap)
-    # record the observed demand (slots 2/3 of the shared caps list): the
+                           h["lens_j"], h["soff_limit"], opts, cap, pcap,
+                           ccap)
+    # record the observed demand (slots 3-5 of the shared caps list): the
     # buffer rung the NEXT process starts from is sized to what this run
     # actually used, so caps that once escalated to the ceiling do not pin
     # every later run at ceiling-sized buffers (expand+sort cost scales with
     # the CAP, not the real hit count — 8M-slot buffers for 371k hits were
     # 25x the needed compute)
-    while len(hits_cap) < 4:
-        hits_cap.append(0)
-    hits_cap[2] = max(hits_cap[2], n_hits)
-    hits_cap[3] = max(hits_cap[3], n_pairs)
+    hits_cap[3] = max(hits_cap[3], n_hits)
+    hits_cap[4] = max(hits_cap[4], n_pairs)
+    hits_cap[5] = max(hits_cap[5], n_kept)
     h["g"] = None                    # drop device refs promptly
     if n_hits >= opts.max_hits_ceiling:
         logger.warning(

@@ -44,8 +44,18 @@ class MapOptions:
     # max_hits_ceiling (no silent candidate loss — the reference has no cap at
     # all, word_finder.c collects every in-cutoff hit).
     max_hits: int = 1 << 19         # hit slots per (batch, strand) pass
-    max_hits_ceiling: int = 1 << 23
-    max_pairs: int = 8192           # (query, subject) pairs chained per pass
+    # ceiling sized for HIGH-IDENTITY read sets (correction iteration 2 maps
+    # corrected reads: nearly every sampled k-mer hits ~coverage positions —
+    # ~12M hits per 256-read batch at 30x; the old 2^23 ceiling silently
+    # dropped ~30% of iteration-2 candidates)
+    max_hits_ceiling: int = 1 << 24
+    max_pairs: int = 8192           # (query, subject) pair segments per pass
+    # pairs actually CHAINED per pass: pairs with fewer than
+    # block_score_cutoff hits can never pass the post-chain seed filter
+    # (stats_to_candidates), so they are compacted away before the seed
+    # gather + chain DP — at 40x coverage ~3/4 of pair segments are 1-2-hit
+    # noise and chaining them dominated the candidate stage at scale
+    max_chain_pairs: int = 4096
     max_seeds_per_pair: int = 64    # seeds fed to chain DP per pair (subsampled beyond)
     # candidates emitted per (query, subject) pair: chains after the first
     # re-run the DP with the previous chain's subject span masked — the role

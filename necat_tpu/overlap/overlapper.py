@@ -120,9 +120,15 @@ def find_all_candidates(
     ck = (opts.kmer_size, opts.scan_window, query_batch_size,
           int(sstore.total_bases).bit_length())
     _load_learned_caps()
-    learned = _LEARNED_CAPS.get(ck)
-    hits_cap = [max(opts.max_hits, learned[0]) if learned else opts.max_hits,
-                max(opts.max_pairs, learned[1]) if learned else opts.max_pairs]
+    learned = list(_LEARNED_CAPS.get(ck) or ())
+    defaults = [opts.max_hits, opts.max_pairs, opts.max_chain_pairs]
+    if len(learned) == 2:
+        # caps persisted before the chain compaction existed: seed the chain
+        # cap from the pair cap (kept pairs are a fraction of all segments)
+        # so the first run does not walk the whole escalation ladder
+        learned.append(max(opts.max_chain_pairs, learned[1] // 4))
+    hits_cap = [max(d, learned[i]) if i < len(learned) else d
+                for i, d in enumerate(defaults)]
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
     order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]
@@ -190,11 +196,12 @@ def find_all_candidates(
         need = max(int(obs) * 13 // 10 + 1, 1)
         return min(max(1 << (need - 1).bit_length(), floor), ceiling)
 
-    if len(hits_cap) >= 4 and hits_cap[2] > 0:
-        new = (_rung(hits_cap[2], opts.max_hits, opts.max_hits_ceiling),
-               _rung(hits_cap[3], opts.max_pairs, 1 << 17))
+    if len(hits_cap) >= 6 and hits_cap[3] > 0:
+        new = (_rung(hits_cap[3], opts.max_hits, opts.max_hits_ceiling),
+               _rung(hits_cap[4], opts.max_pairs, 1 << 18),
+               _rung(hits_cap[5], opts.max_chain_pairs, 1 << 17))
     else:
-        new = (hits_cap[0], hits_cap[1])
+        new = tuple(hits_cap[:3])
     if _LEARNED_CAPS.get(ck) != new:
         _LEARNED_CAPS[ck] = new
         _save_learned_caps()

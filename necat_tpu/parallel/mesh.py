@@ -202,13 +202,15 @@ class ShardedIndex:
 
 
 def _dispatch_sharded_once(index: "ShardedIndex", batch_j, lens_j, lim_j,
-                           opts: MapOptions, cap: int, pcap: int):
+                           opts: MapOptions, cap: int, pcap: int, ccap: int):
     import dataclasses as _dc
 
     from necat_tpu.utils.logging import timed
     o = opts
-    if cap != opts.max_hits or pcap != opts.max_pairs:
-        o = _dc.replace(opts, max_hits=cap, max_pairs=pcap)
+    if (cap, pcap, ccap) != (opts.max_hits, opts.max_pairs,
+                             opts.max_chain_pairs):
+        o = _dc.replace(opts, max_hits=cap, max_pairs=pcap,
+                        max_chain_pairs=ccap)
     fn = sharded_candidates_fn(index.mesh, k=index.k, shift=index.shift,
                                occ_cutoff=index.occ_cutoff,
                                scan_window=opts.scan_window, opts=o,
@@ -216,7 +218,7 @@ def _dispatch_sharded_once(index: "ShardedIndex", batch_j, lens_j, lim_j,
     with timed("cand.dispatch"):
         g = fn(index.sh, index.sp, index.bs, index.so,
                batch_j, lens_j, lim_j, index.re)
-        for k_ in ("stats", "n_hits", "n_pairs"):
+        for k_ in ("stats", "n_hits", "n_pairs", "n_kept"):
             try:
                 g[k_].copy_to_host_async()
             except Exception:
@@ -253,14 +255,13 @@ def dispatch_candidates_sharded(
                          INT32MAX).astype(np.int32)
     else:
         lim = np.full((D, B), INT32MAX, np.int32)
-    if hits_cap is None:
-        hits_cap = [opts.max_hits, opts.max_pairs]
-    elif len(hits_cap) == 1:
-        hits_cap.append(opts.max_pairs)
-    cap, pcap = hits_cap[0], hits_cap[1]
+    from necat_tpu.overlap.candidates import _norm_caps
+    hits_cap = _norm_caps(hits_cap, opts)
+    cap, pcap, ccap = hits_cap[0], hits_cap[1], hits_cap[2]
     batch_j, lens_j, lim_j = jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(lim)
-    g = _dispatch_sharded_once(index, batch_j, lens_j, lim_j, opts, cap, pcap)
-    return dict(g=g, caps=(cap, pcap), index=index, sstore=sstore,
+    g = _dispatch_sharded_once(index, batch_j, lens_j, lim_j, opts, cap, pcap,
+                               ccap)
+    return dict(g=g, caps=(cap, pcap, ccap), index=index, sstore=sstore,
                 batch_j=batch_j, lens_j=lens_j, lim_j=lim_j,
                 qids=np.asarray(qids), lens=np.asarray(lens), qdir=qdir,
                 subject_read_start=subject_read_start, hits_cap=hits_cap)
@@ -275,31 +276,32 @@ def collect_candidates_sharded(h: dict, opts: MapOptions):
     D = index.n_shards
     starts = index.read_starts
     hits_cap = h["hits_cap"]
-    cap, pcap = h["caps"]
+    cap, pcap, ccap = h["caps"]
     g = h["g"]
     while True:
         with timed("cand.stats_sync"):
             st_all = np.asarray(g["stats"]).reshape(D, 9, -1)
         n_hits = int(np.asarray(g["n_hits"]).max())
         n_pairs = int(np.asarray(g["n_pairs"]).max())
+        n_kept = int(np.asarray(g["n_kept"]).max())
         grow = False
         if n_hits >= cap and cap < opts.max_hits_ceiling:
             hits_cap[0] = max(hits_cap[0], min(cap * 4, opts.max_hits_ceiling))
             grow = True
-        if n_pairs >= pcap and pcap < (1 << 17):
-            # x2 (not x4): chain DP cost is linear in the pair cap and the
-            # x4 ladder overshot to 131072 for a 33k-pair E. coli batch
-            hits_cap[1] = max(hits_cap[1], min(pcap * 2, 1 << 17))
+        if n_pairs >= pcap and pcap < (1 << 18):
+            hits_cap[1] = max(hits_cap[1], min(pcap * 2, 1 << 18))
+            grow = True
+        if n_kept >= ccap and ccap < (1 << 17):
+            hits_cap[2] = max(hits_cap[2], min(ccap * 2, 1 << 17))
             grow = True
         if not grow:
             break
-        cap, pcap = hits_cap[0], hits_cap[1]
+        cap, pcap, ccap = hits_cap[0], hits_cap[1], hits_cap[2]
         g = _dispatch_sharded_once(index, h["batch_j"], h["lens_j"],
-                                   h["lim_j"], opts, cap, pcap)
-    while len(hits_cap) < 4:          # observed demand (see collect_candidates_batch)
-        hits_cap.append(0)
-    hits_cap[2] = max(hits_cap[2], n_hits)
-    hits_cap[3] = max(hits_cap[3], n_pairs)
+                                   h["lim_j"], opts, cap, pcap, ccap)
+    hits_cap[3] = max(hits_cap[3], n_hits)   # observed demand
+    hits_cap[4] = max(hits_cap[4], n_pairs)
+    hits_cap[5] = max(hits_cap[5], n_kept)
     h["g"] = None
     parts = []
     for d in range(D):

@@ -228,6 +228,13 @@ class Project:
                           if nproc > 1 else None)
                 recs = correct_reads(cur, call, copts, template_ids=stripe)
                 recs.sort(key=lambda r: (r.tid, r.left))  # oc2ReorderCnsReads role
+                if it + 1 == cfg.num_iter:
+                    # final extract reads ONLY cns.fasta (runCnsExtract,
+                    # necat.pl:397-416): raw-passthrough pieces and whole
+                    # uncorrected reads go to raw.fasta and never reach
+                    # cns_final — keeping them dragged corrected-read (and
+                    # hence contig) identity down ~0.3-1 pp
+                    recs = [r for r in recs if r.corrected]
                 seqs = [r.seq for r in recs]
                 names = [f"{r.tid}_{r.left}_{r.right}_{r.org_size}" for r in recs]
                 if nproc > 1:
