@@ -120,15 +120,20 @@ def find_all_candidates(
     ck = (opts.kmer_size, opts.scan_window, query_batch_size,
           int(sstore.total_bases).bit_length())
     _load_learned_caps()
-    learned = list(_LEARNED_CAPS.get(ck) or ())
     defaults = [opts.max_hits, opts.max_pairs, opts.max_chain_pairs]
-    if len(learned) == 2:
-        # caps persisted before the chain compaction existed: seed the chain
-        # cap from the pair cap (kept pairs are a fraction of all segments)
-        # so the first run does not walk the whole escalation ladder
-        learned.append(max(opts.max_chain_pairs, learned[1] // 4))
-    hits_cap = [max(d, learned[i]) if i < len(learned) else d
-                for i, d in enumerate(defaults)]
+    # caps are PER QUERY-LENGTH TIER: hit demand scales with samples/read, so
+    # one global cap sized for the 40 kb-read batches made every short-read
+    # batch pay 8x-oversized expand+sort buffers
+    caps_by_tier: dict = {}
+
+    def _caps_for(pad: int) -> list:
+        if pad not in caps_by_tier:
+            learned = list(_LEARNED_CAPS.get(ck + (pad,)) or ())
+            if len(learned) == 2:
+                learned.append(max(opts.max_chain_pairs, learned[1] // 4))
+            caps_by_tier[pad] = [max(d, learned[i]) if i < len(learned) else d
+                                 for i, d in enumerate(defaults)]
+        return caps_by_tier[pad]
     parts = []
     all_q = np.arange(qstore.n_reads) if query_ids is None else np.asarray(query_ids)
     order = all_q[np.argsort(qstore.lengths[all_q], kind="stable")]
@@ -174,14 +179,14 @@ def find_all_candidates(
                     pending.append(("sharded", dispatch_candidates_sharded(
                         sharded_idx, sstore, subject_read_start, batch, lens,
                         qidx.astype(np.int32), qdir, opts, pairwise=pairwise,
-                        hits_cap=hits_cap)))
+                        hits_cap=_caps_for(pad))))
                 else:
                     from necat_tpu.overlap.candidates import dispatch_candidates_batch
                     pending.append(("one", dispatch_candidates_batch(
                         index, sub_off, subject_read_start, batch, lens,
                         qidx.astype(np.int32), qdir, sub_sizes, opts,
                         pairwise=pairwise, sub_offsets_host=sstore.offsets,
-                        hits_cap=hits_cap)))
+                        hits_cap=_caps_for(pad))))
             while len(pending) >= depth:
                 _collect_one()
         if progress:
@@ -196,14 +201,18 @@ def find_all_candidates(
         need = max(int(obs) * 13 // 10 + 1, 1)
         return min(max(1 << (need - 1).bit_length(), floor), ceiling)
 
-    if len(hits_cap) >= 6 and hits_cap[3] > 0:
-        new = (_rung(hits_cap[3], opts.max_hits, opts.max_hits_ceiling),
-               _rung(hits_cap[4], opts.max_pairs, 1 << 18),
-               _rung(hits_cap[5], opts.max_chain_pairs, 1 << 17))
-    else:
-        new = tuple(hits_cap[:3])
-    if _LEARNED_CAPS.get(ck) != new:
-        _LEARNED_CAPS[ck] = new
+    changed = False
+    for pad, hc in caps_by_tier.items():
+        if len(hc) >= 6 and hc[3] > 0:
+            new = (_rung(hc[3], opts.max_hits, opts.max_hits_ceiling),
+                   _rung(hc[4], opts.max_pairs, 1 << 18),
+                   _rung(hc[5], opts.max_chain_pairs, 1 << 17))
+        else:
+            new = tuple(hc[:3])
+        if _LEARNED_CAPS.get(ck + (pad,)) != new:
+            _LEARNED_CAPS[ck + (pad,)] = new
+            changed = True
+    if changed:
         _save_learned_caps()
     with timed("cand.topn"):
         cands = Candidates.concat(parts)
