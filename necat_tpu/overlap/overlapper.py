@@ -128,7 +128,11 @@ def find_all_candidates(
 
     def _caps_for(pad: int) -> list:
         if pad not in caps_by_tier:
-            learned = list(_LEARNED_CAPS.get(ck + (pad,)) or ())
+            # legacy per-store-bucket entries (pre-tier format) seed missing
+            # tiers: their programs are already compiled/cached, so starting
+            # from them avoids re-walking the escalation ladder once
+            learned = list(_LEARNED_CAPS.get(ck + (pad,))
+                           or _LEARNED_CAPS.get(ck) or ())
             if len(learned) == 2:
                 learned.append(max(opts.max_chain_pairs, learned[1] // 4))
             caps_by_tier[pad] = [max(d, learned[i]) if i < len(learned) else d
