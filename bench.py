@@ -119,6 +119,10 @@ def main() -> int:
     mopts = MapOptions()
     if "BENCH_MAX_HITS" in os.environ:
         mopts = MapOptions(max_hits=int(os.environ["BENCH_MAX_HITS"]))
+    copts = CnsOptions()
+    if "BENCH_BAND" in os.environ:
+        import dataclasses as _dc
+        copts = _dc.replace(copts, band_width=int(os.environ["BENCH_BAND"]))
 
     # Two passes: the first pays one-time per-process costs that are artifacts
     # of the tunnel-attached device (5-10 s PER EXECUTABLE to load compiled
@@ -138,7 +142,7 @@ def main() -> int:
             cands = find_all_candidates(store, store, mopts, pairwise=True)
             call = Candidates.concat([cands, cands.swap_roles()])
         with timed("bench.correct"):
-            recs = correct_reads(store, call, CnsOptions())
+            recs = correct_reads(store, call, copts)
         walls.append(time.time() - t0)
         snaps.append({k: v for k, (v, _) in timing_report().items()})
     wall = walls[-1]
@@ -218,7 +222,7 @@ def main() -> int:
             t0 = time.time()
             ecands = find_all_candidates(est, est, mopts, pairwise=True)
             ecall = Candidates.concat([ecands, ecands.swap_roles()])
-            erecs = correct_reads(est, ecall, CnsOptions())
+            erecs = correct_reads(est, ecall, copts)
             ewall = time.time() - t0
             encorr = len({r.tid for r in erecs if r.corrected})
             ecoli = {"reads_per_s": round(encorr / ewall, 1),

@@ -172,6 +172,22 @@ def scatter_pass(weights, coverage, ops, n_ops, qbatch, aq, at, pair_row,
     return weights, coverage
 
 
+def use_seg_scatter() -> bool:
+    """Segment-sum tag accumulator (opt-in, NECAT_TPU_SEG_SCATTER=1): pairs
+    sort by template row, every tag plane prefix-sums once along the pair
+    axis and per-row sums come from two boundary gathers — O(P log P) memory
+    traffic instead of the one-hot matmul's O(TB*P) MXU contraction.
+    Measured SLOWER than the matmul on TPU v5e (200 kb bench steady 34.5 vs
+    48.9 reads/s): the HBM-bound log-step prefix sums lose to the MXU, which
+    runs the [TB, P] x [P, C*Lt] contraction near peak. Kept as an A/B knob
+    for parts with bigger TB or narrower planes."""
+    import os
+    v = os.environ.get("NECAT_TPU_SEG_SCATTER")
+    if v is not None:
+        return v not in ("0", "false")
+    return False
+
+
 def use_mm_scatter() -> bool:
     """The one-hot-matmul tag accumulator is the TPU path (XLA scatter-add
     serializes on TPU: 17 s/call measured vs ~5 ms for the MXU formulation).
@@ -262,10 +278,24 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     assert MC == Lt, "canonicalize cols/insb to Lt (pad_cols_to) before calling"
     TB = TBp1 - 1
     f32 = jnp.float32
+    seg = use_seg_scatter()
+    if seg:
+        # segment-sum accumulation (see use_seg_scatter): sort pairs by row so
+        # each row's tags are one contiguous lane run; the reduction is then a
+        # single prefix sum + two boundary gathers, independent of TB. The
+        # permutation gathers only the per-pair inputs (cols/insb rows are
+        # leading-axis contiguous) — cheap next to the plane tensors
+        perm = jnp.argsort(pair_row.astype(jnp.int32))
+        cols = cols[perm]
+        insb = tuple(x[perm] for x in insb)
+        lead, leadb, jc = lead[perm], leadb[perm], jc[perm]
+        at, tsize = at[perm], tsize[perm]
+        pair_row, pair_w = pair_row[perm], pair_w[perm]
     rows = jnp.arange(TB, dtype=jnp.int32)
-    assign = (pair_row[None, :] == rows[:, None])
-    Mw = jnp.where(assign, pair_w[None, :], 0.0).astype(f32)      # [TB, P]
-    M1 = assign.astype(f32)
+    if not seg:
+        assign = (pair_row[None, :] == rows[:, None])
+        Mw = jnp.where(assign, pair_w[None, :], 0.0).astype(f32)  # [TB, P]
+        M1 = assign.astype(f32)
     hp = jax.lax.Precision.HIGHEST
 
     # the one-hot planes are exact in bf16 ({0,1}); with f32 Mw and HIGHEST
@@ -298,10 +328,6 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     base0 = jnp.where(op0 == OP_DEL, GAP_CODE, (colsT >> 3) & 3)
     d0 = (base0[:, None, :] == jnp.arange(5, dtype=jnp.int32)[None, :, None]) \
         & act0[:, None, :]                                         # [P, 5, Lt]
-    w0 = jnp.einsum("bp,pcl->bcl", Mw, d0.astype(onehot_t), precision=hp,
-                    preferred_element_type=f32)
-    cov = jnp.einsum("bp,pl->bl", M1, act0.astype(onehot_t), precision=hp,
-                     preferred_element_type=f32)
 
     # ---- insertion planes from insb: delta d (1..D-1), base b (0..3)
     # fwd: a run lands at its own column's t; rev: one position further left
@@ -312,16 +338,44 @@ def scatter_pass_cols_mm(weights, coverage, cols, insb, lead, leadb, jc,
     kI = jnp.where((colsI & 3) != OP_PAD, colsI >> 5, 0)
     nd = min(D - 1, N_INSB * len(insb))
     sh0 = 0 if not reversed_part else 14
-    wk = []
-    for d in range(1, nd + 1):
+
+    def ins_plane(d):
         w_, dl = (d - 1) // N_INSB, (d - 1) % N_INSB
         bd = (insbT[w_] >> (sh0 + 2 * dl)) & 3
         okd = kI >= d
-        pl = (bd[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None]) \
+        return (bd[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None]) \
             & okd[:, None, :]                                      # [P, 4, Lt]
-        wk.append(jnp.einsum("bp,pcl->bcl", Mw, pl.astype(onehot_t), precision=hp,
-                             preferred_element_type=f32))
-    wk = jnp.stack(wk, axis=1)                                     # [TB, nd, 4, Lt]
+
+    if seg:
+        lo = jnp.searchsorted(pair_row.astype(jnp.int32), rows, side="left")
+        hi = jnp.searchsorted(pair_row.astype(jnp.int32), rows, side="right")
+
+        def seg_reduce(x):
+            """x f32[P, C, Lt] in row-sorted lane order -> per-row sums
+            [TB, C, Lt]: inclusive prefix sum + boundary-difference gathers
+            (rows TB and beyond sort past hi and drop out naturally)."""
+            cum = jnp.cumsum(x, axis=0)
+            cumz = jnp.concatenate([jnp.zeros_like(cum[:1]), cum], axis=0)
+            return cumz[hi] - cumz[lo]
+
+        # one seg_reduce per plane group (NOT one concatenated tensor: the
+        # [P, 5+4nd+1, Lt] f32 concat + its prefix sum alone is ~5.7 GB at
+        # P=512, Lt=40960 and OOMed the fused program; sequential groups let
+        # XLA reuse the transient buffers)
+        wvec = pair_w[:, None, None]
+        w0 = seg_reduce(jnp.where(d0, wvec, 0.0))              # [TB, 5, Lt]
+        cov = seg_reduce(act0.astype(f32)[:, None, :])[:, 0]   # [TB, Lt]
+        wk = jnp.stack([seg_reduce(jnp.where(ins_plane(d), wvec, 0.0))
+                        for d in range(1, nd + 1)], axis=1)    # [TB, nd, 4, Lt]
+    else:
+        w0 = jnp.einsum("bp,pcl->bcl", Mw, d0.astype(onehot_t), precision=hp,
+                        preferred_element_type=f32)
+        cov = jnp.einsum("bp,pl->bl", M1, act0.astype(onehot_t), precision=hp,
+                         preferred_element_type=f32)
+        wk = [jnp.einsum("bp,pcl->bcl", Mw, ins_plane(d).astype(onehot_t),
+                         precision=hp, preferred_element_type=f32)
+              for d in range(1, nd + 1)]
+        wk = jnp.stack(wk, axis=1)                                 # [TB, nd, 4, Lt]
 
     upd = jnp.concatenate([
         w0[:, None, :, :],

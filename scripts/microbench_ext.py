@@ -66,7 +66,7 @@ def main():
             a, la, b, lb, aq, at, W=W, tail_match=8, insb_words=1))
         out = banded._extend_batch_jit(a, la, b, lb, aq, at, W=W,
                                        tail_match=8, insb_words=1)
-        TB, D = 64, 8
+        TB, D = int(os.environ.get("MB_TB", 64)), 8
         wts = jnp.zeros((TB + 1, D, 5, L), jnp.float32)
         cov = jnp.zeros((TB + 1, L), jnp.int32)
         row = jnp.asarray(rng.integers(0, TB, PB), jnp.int32)
