@@ -40,6 +40,8 @@ def get_devstore(store: ReadStore, device=None) -> "DeviceReadStore":
     key = None if device is None else repr(device)
     if key not in cache:
         cache[key] = DeviceReadStore(store, device=device)
+        from necat_tpu.utils.device import register_cached_store
+        register_cached_store(store)
     return cache[key]
 
 

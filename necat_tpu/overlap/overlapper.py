@@ -80,6 +80,8 @@ def find_all_candidates(
         # devstore.get_devstore): repeated candidate passes over one read set
         # — both strands, later iterations, bench passes — share one build
         icache = sstore.__dict__.setdefault("_index_cache", {})
+        from necat_tpu.utils.device import register_cached_store
+        register_cached_store(sstore)
         ikey = ("mesh" if mesh is not None else "one",
                 opts.kmer_size, opts.occ_cutoff)
         if mesh is not None:
@@ -149,6 +151,12 @@ def find_all_candidates(
     import os as _os
     from collections import deque
     depth = max(1, int(_os.environ.get("NECAT_TPU_CAND_DEPTH", "4")))
+    # in-flight memory bound: each pending batch holds expand+sort buffers
+    # proportional to its hit cap, so the dispatch depth shrinks as the caps
+    # escalate (trim's 30x corrected-read batches reach the 2^24 ceiling —
+    # four such batches in flight exhausted HBM alongside the device index)
+    slots_budget = int(_os.environ.get("NECAT_TPU_CAND_INFLIGHT_SLOTS",
+                                       str(1 << 24)))
     pending: deque = deque()
 
     def _collect_one():
@@ -191,7 +199,9 @@ def find_all_candidates(
                         qidx.astype(np.int32), qdir, sub_sizes, opts,
                         pairwise=pairwise, sub_offsets_host=sstore.offsets,
                         hits_cap=_caps_for(pad))))
-            while len(pending) >= depth:
+            eff_depth = max(1, min(depth,
+                                   slots_budget // max(_caps_for(pad)[0], 1)))
+            while len(pending) >= eff_depth:
                 _collect_one()
         if progress:
             progress(f"candidates: {min(bs + query_batch_size, len(order))}/{len(order)} queries")

@@ -98,6 +98,12 @@ def _stage(workdir: str, name: str, ifiles: List[str], ofiles: List[str],
                     raise
                 logger.warning("stage %s: attempt %d failed, retrying",
                                name, attempts, exc_info=True)
+                # a RESOURCE_EXHAUSTED dispatch leaves HBM full of cached
+                # device stores/indexes/executable temps; drop them so the
+                # retry starts into a clean device (re-upload + reload from
+                # the persistent compile cache is far cheaper than a dead run)
+                from necat_tpu.utils.device import release_device_caches
+                release_device_caches()
     launcher.barrier(f"stage:{name}")
     if launcher.is_coordinator():
         json.dump({"input_fp": fp, "params": pjson, "rc": 0,

@@ -53,6 +53,42 @@ def tunnel_retry(fn, *args, _attempts: int = 3, **kw):
             _time.sleep(2.0 * (a + 1))
 
 
+import weakref
+
+_CACHED_STORES: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def register_cached_store(store) -> None:
+    """Track a ReadStore carrying device-resident caches (packed word store,
+    k-mer index) so release_device_caches can drop them on HBM exhaustion."""
+    try:
+        _CACHED_STORES.add(store)
+    except TypeError:
+        pass
+
+
+def release_device_caches() -> None:
+    """Free every registered store's device caches + jit caches.
+
+    Called by the stage retry loop after a failure (pipeline/stages._stage):
+    a RESOURCE_EXHAUSTED dispatch leaves HBM full of cached word stores,
+    index arrays and executable temps, so a bare retry fails instantly —
+    dropping the caches lets the retry rebuild into a clean device. Costs a
+    re-upload + executable reloads (persistent compile cache stays warm)."""
+    import gc
+
+    for s in list(_CACHED_STORES):
+        s.__dict__.pop("_devstore_cache", None)
+        s.__dict__.pop("_index_cache", None)
+    gc.collect()
+    try:
+        import jax
+        jax.clear_caches()
+    except Exception:
+        pass
+    gc.collect()
+
+
 _warm_thread = None
 
 
