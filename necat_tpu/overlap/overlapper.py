@@ -293,8 +293,18 @@ def _extend_subset(cands, engine, idxs, band_width, out, progress=None,
 
     Uses the fused chunk engine (align.engine): one dispatch per chunk, stats
     collected a slice behind the dispatch stream so the device pipelines while
-    in-flight chunk buffers stay bounded (~slice_pairs alignments)."""
+    in-flight chunk buffers stay bounded. The slice size is BYTE-bounded:
+    each retained chunk holds ~5 per-column arrays (~20*L bytes/pair), so at
+    the 32k tier an 8192-pair slice was ~4.6 GB and two slices in flight
+    exhausted HBM during the trim stage at E. coli scale."""
+    import os as _os
+
     from necat_tpu.align.engine import collect_stats
+    budget = int(_os.environ.get("NECAT_TPU_EXT_SLICE_BYTES", str(2 << 30)))
+    if len(idxs):
+        L_est = shapes.length_tier(
+            min(int(cands.qsize[idxs].max()) * 14 // 10 + 600, 1 << 18))
+        slice_pairs = max(512, min(slice_pairs, budget // (20 * L_est)))
 
     def submit(sel):
         return engine.submit(
@@ -426,12 +436,15 @@ def overlap_all_vs_all(
         cands = find_all_candidates(store, store, opts, pairwise=True,
                                     query_batch_size=query_batch_size,
                                     progress=progress)
-        return extend_candidates(cands, store, store, min_align_size=min_align_size,
-                                 min_ident=min_ident, band_width=band_width,
-                                 progress=progress)
-    cands = candidates_by_volumes(store, opts, vol_size,
-                                  query_batch_size=query_batch_size,
-                                  progress=progress)
+    else:
+        cands = candidates_by_volumes(store, opts, vol_size,
+                                      query_batch_size=query_batch_size,
+                                      progress=progress)
+    # the k-mer index is dead weight during extension (this is a one-pass
+    # flow — trim/assembly rebuild on a different store next time); its
+    # device arrays (~GBs at E. coli scale) otherwise squeeze the extension
+    # chunk buffers out of HBM
+    store.__dict__.pop("_index_cache", None)
     return extend_candidates(cands, store, store, min_align_size=min_align_size,
                              min_ident=min_ident, band_width=band_width,
                              progress=progress)
