@@ -168,6 +168,21 @@ def find_all_candidates(
             else:
                 from necat_tpu.overlap.candidates import collect_candidates_batch
                 parts.append(collect_candidates_batch(h, opts))
+        # crash resilience: escalation steps are minutes-expensive recompiles,
+        # and a pass killed mid-way (timeout, OOM) used to lose them all —
+        # persist a cap the moment a batch escalates past the stored entry.
+        # A COMPLETED pass still right-sizes these from observed demand below.
+        grew = False
+        for pad, hc in caps_by_tier.items():
+            cur = tuple(_LEARNED_CAPS.get(ck + (pad,), ()))[:3]
+            new = tuple(int(x) for x in hc[:3])
+            if len(cur) < 3 or any(n > c for n, c in zip(new, cur)):
+                _LEARNED_CAPS[ck + (pad,)] = (tuple(max(n, c) for n, c in
+                                                    zip(new, cur))
+                                              if len(cur) == 3 else new)
+                grew = True
+        if grew:
+            _save_learned_caps()
 
     for bs in range(0, len(order), query_batch_size):
         qidx = order[bs:bs + query_batch_size]
